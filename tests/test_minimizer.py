@@ -1,0 +1,66 @@
+"""Winnowing vs the oracle transliteration of RSeq::extract_mers."""
+
+import numpy as np
+import pytest
+
+from krepp_tpu.params import IndexParams, LSHParams
+from krepp_tpu.core import codec, minimizer
+
+import oracle
+
+
+def make_params(k=27, h=11, w=35, m=4, r=1, frac=True, seed=5):
+    return IndexParams(lsh=LSHParams.generate(k, h, m, seed=seed), w=w, r=r, frac=frac)
+
+
+def rand_seq(rng, n, with_n=False):
+    alpha = "ACGTN" if with_n else "ACGT"
+    p = [0.23, 0.23, 0.23, 0.23, 0.08] if with_n else None
+    return "".join(rng.choice(list(alpha), size=n, p=p))
+
+
+@pytest.mark.parametrize("with_n", [False, True])
+@pytest.mark.parametrize("n", [40, 123, 1000])
+def test_extract_matches_oracle(with_n, n):
+    rng = np.random.default_rng(n + with_n)
+    params = make_params()
+    lsh = params.lsh
+    seq = rand_seq(rng, n, with_n)
+    got = minimizer.extract_sequence_mers(codec.seq_to_codes(seq), params)
+    kept_o, c1_o, c2_o = oracle.extract_mers_oracle(
+        seq, lsh.k, params.w, list(lsh.ppos), list(lsh.npos),
+        lsh.m, params.r, params.frac)
+    if n < params.w:
+        assert got is None
+        return
+    rows, res, c1, c2 = got
+    assert len(rows) == len(kept_o)
+    for i, (lr, rr) in enumerate(kept_o):
+        assert int(rows[i]) == lr, i
+        assert int(res[i]) == rr, i
+    assert np.array_equal(np.sort(c1), np.sort(np.array(c1_o, dtype=np.uint32)))
+    assert np.array_equal(np.sort(c2), np.sort(np.array(c2_o, dtype=np.uint32)))
+
+
+def test_short_tail_zero_entry():
+    """A sequence with w <= len < w + something and trailing N forces the
+    end-of-sequence emission path."""
+    rng = np.random.default_rng(7)
+    params = make_params(w=35)
+    # valid prefix of exactly k bases after an N reset near the end
+    seq = rand_seq(rng, 60) + "N" + rand_seq(rng, 28)
+    lsh = params.lsh
+    rows, res, c1, c2 = minimizer.extract_sequence_mers(codec.seq_to_codes(seq), params)
+    kept_o, c1_o, c2_o = oracle.extract_mers_oracle(
+        seq, lsh.k, params.w, list(lsh.ppos), list(lsh.npos),
+        lsh.m, params.r, params.frac)
+    assert [(int(a), int(b)) for a, b in zip(rows, res)] == kept_o
+
+
+def test_genome_rho():
+    rng = np.random.default_rng(9)
+    params = make_params()
+    contigs = [codec.seq_to_codes(rand_seq(rng, 3000)) for _ in range(3)]
+    rows, res, rho = minimizer.extract_genome_mers(contigs, params)
+    assert 0 < rho <= 1.5
+    assert len(rows) == len(res) > 0
