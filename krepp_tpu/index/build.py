@@ -1,0 +1,169 @@
+"""Index build: genome winnowing -> sorted merge -> colors -> frozen CSR.
+
+The reference builds per-genome dynamic hash tables and unions them up the
+guide tree under locks, fusing subset hashes per shared k-mer
+(ref: src/krepp.cpp:248-303, src/table.cpp:182-232). Here the union is a
+single global sort-and-group over (row, residual, leaf) triples — the natural
+TPU/accelerator formulation (device-sortable, shardable by row) with no
+locks and deterministic colors.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..params import IndexParams
+from ..core import minimizer
+from ..io.fastx import read_genome_codes
+from ..tree.newick import Tree
+from ..tree.flat import FlatTree
+from .colors import ColorBuilder, ColorTable
+
+
+@dataclass
+class BuiltIndex:
+    """A frozen single-partial index (the build output).
+
+    enc_v/se_v: concatenated buckets (CSR by local row; within-bucket sorted
+    by encoding as in FlatHT, ref: src/table.cpp:43-63).
+    inc: int64 [nrows_local] cumulative end offsets (ref: src/table.hpp:121-136).
+    """
+
+    params: IndexParams
+    tree: Optional[Tree]
+    names: List[str]
+    enc_v: np.ndarray
+    se_v: np.ndarray
+    inc: np.ndarray
+    colors: ColorTable
+    ftree: FlatTree
+
+    @property
+    def nkmers(self) -> int:
+        return len(self.enc_v)
+
+
+@dataclass
+class BuiltSketch:
+    """Color-less single-target sketch (ref: src/table.hpp:8-21, sketch cmd)."""
+
+    params: IndexParams
+    enc_v: np.ndarray
+    inc: np.ndarray
+    rho: float
+
+    @property
+    def nkmers(self) -> int:
+        return len(self.enc_v)
+
+
+def _dedupe_genome(rows: np.ndarray, res: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-genome (row, residual) dedupe (ref: src/table.cpp:157-166)."""
+    key = rows.astype(np.uint64) << np.uint64(32) | res.astype(np.uint64)
+    key = np.unique(key)
+    return (key >> np.uint64(32)).astype(np.uint32), (key & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+
+def build_index(input_map: Sequence[Tuple[str, str]], params: IndexParams,
+                tree: Optional[Tree] = None, progress: bool = True) -> BuiltIndex:
+    """Build a single-partial index from {name -> genome path}.
+
+    input_map order defines the reference list; the guide tree (or a
+    generated balanced tree, ref: src/krepp.cpp:131-145) defines leaf ids.
+    """
+    names = [n for n, _ in input_map]
+    path_of = dict(input_map)
+    if tree is None:
+        print("No tree has given as a guide, the color index could be suboptimal.",
+              file=sys.stderr)
+        tree = Tree.generate(names)
+    ftree = FlatTree.from_tree(tree)
+    leaf_se = {ftree.names[se]: se for se in range(1, ftree.nnodes + 1)
+               if ftree.is_leaf[se]}
+
+    all_rows: List[np.ndarray] = []
+    all_res: List[np.ndarray] = []
+    all_leaf: List[np.ndarray] = []
+    rho = np.zeros(ftree.nnodes + 1)
+    count = 0
+    for name in names:
+        count += 1
+        se = leaf_se.get(name)
+        if se is None:
+            continue
+        if name not in path_of:
+            if progress:
+                print(f"Genome skipped: {name}", file=sys.stderr)
+            continue
+        rows, res, g_rho = minimizer.extract_genome_mers(
+            read_genome_codes(path_of[name]), params)
+        rows, res = _dedupe_genome(rows, res)
+        rho[se] = g_rho
+        all_rows.append(rows)
+        all_res.append(res)
+        all_leaf.append(np.full(len(rows), se, np.int32))
+        if progress:
+            print(f"Leaf node: {name}\tsize: {len(rows)}\t"
+                  f"progress: {count}/{ftree.nnodes}", file=sys.stderr)
+
+    # leaves present in the tree but not in the input map contribute nothing
+    rows = np.concatenate(all_rows) if all_rows else np.empty(0, np.uint32)
+    res = np.concatenate(all_res) if all_res else np.empty(0, np.uint32)
+    leaf = np.concatenate(all_leaf) if all_leaf else np.empty(0, np.int32)
+    if len(rows) == 0:
+        raise ValueError("No k-mers to index!")
+
+    enc_v, se_v, inc, colors = _merge_and_color(rows, res, leaf, params, ftree, rho)
+    return BuiltIndex(params=params, tree=tree, names=names, enc_v=enc_v,
+                      se_v=se_v, inc=inc, colors=colors, ftree=ftree)
+
+
+def _merge_and_color(rows: np.ndarray, res: np.ndarray, leaf: np.ndarray,
+                     params: IndexParams, ftree: FlatTree, rho: np.ndarray):
+    """Global sorted merge (the union tree collapsed to one sort) + colors."""
+    key = rows.astype(np.uint64) << np.uint64(32) | res.astype(np.uint64)
+    order = np.lexsort((leaf, key))  # groups contiguous, leaf-sorted inside
+    key = key[order]
+    leaf = leaf[order]
+    uniq, starts = np.unique(key, return_index=True)
+    ends = np.append(starts[1:], len(key))
+    sizes = ends - starts
+
+    builder = ColorBuilder(ftree)
+    se_v = np.empty(len(uniq), np.int32)
+    # fast path: k-mers private to one genome keep that leaf's id
+    single = sizes == 1
+    se_v[single] = leaf[starts[single]]
+    for g in np.flatnonzero(~single):
+        ls = tuple(leaf[starts[g]: ends[g]].tolist())
+        se_v[g] = builder.color_of(ls)
+
+    g_rows = (uniq >> np.uint64(32)).astype(np.int64)
+    enc_v = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    nrows = params.nrows_local
+    counts = np.bincount(g_rows, minlength=nrows)
+    inc = np.cumsum(counts).astype(np.int64)
+    colors = builder.finalize(rho)
+    return enc_v, se_v, inc, colors
+
+
+def build_sketch(path: str, params: IndexParams, progress: bool = True) -> BuiltSketch:
+    """Single-genome sketch (ref: src/krepp.cpp:110-119)."""
+    rows, res, rho = minimizer.extract_genome_mers(read_genome_codes(path), params)
+    rows, res = _dedupe_genome(rows, res)
+    key = rows.astype(np.uint64) << np.uint64(32) | res.astype(np.uint64)
+    key = np.unique(key)
+    g_rows = (key >> np.uint64(32)).astype(np.int64)
+    enc_v = (key & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    nrows = params.nrows_local
+    counts = np.bincount(g_rows, minlength=nrows)
+    inc = np.cumsum(counts).astype(np.int64)
+    if progress:
+        print(f"Total number of k-mers included in the sketch: {len(enc_v)}",
+              file=sys.stderr)
+        print(f"Subsampling rate (rho) is: {rho}", file=sys.stderr)
+    return BuiltSketch(params=params, enc_v=enc_v, inc=inc, rho=rho)

@@ -1,0 +1,224 @@
+"""DeviceIndex: the frozen LSH table + colors laid out for TPU querying.
+
+The reference keeps per-residue partial tables and per-probe BFS color
+decoding (ref: src/index.{hpp,cpp}); here everything is re-binned at load
+time into one unified CSR keyed by
+
+    urow = (rix // m) * R + rank(rix % m)
+
+where R is the number of resident residues — so a probe computes its bucket
+slice with two integer ops and no hash-map lookups, and the color of every
+entry expands through a precomputed per-color leaf bitmask.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..params import IndexParams, LSHParams
+from ..tree.newick import Tree, map_to_qtree
+from ..tree.flat import FlatTree, placement_weights
+from .colors import ColorTable
+from .build import BuiltIndex, BuiltSketch
+
+
+@dataclass
+class DeviceIndex:
+    """Host-side container of device-ready arrays for one logical index."""
+
+    lsh: LSHParams
+    resident: np.ndarray      # bool [m]
+    res_rank: np.ndarray      # int32 [m], -1 where non-resident
+    R: int
+    nrows_u: int
+    row_start: np.ndarray     # int32 [nrows_u + 1]
+    enc_v: np.ndarray         # uint32 [nkmers]
+    se_v: np.ndarray          # int32 [nkmers]
+    max_bucket: int
+    colors: ColorTable
+    tree: Optional[Tree]
+    ftree: FlatTree
+    wbackbone: bool
+    names: List[str]
+    # leaf slots: dense enumeration of index-tree leaf ses
+    leaf_ses: np.ndarray      # int32 [S]
+    slot_of_se: Dict[int, int]
+    rho_slot: np.ndarray      # float64 [S]
+    se_mask: np.ndarray       # uint32 [nse, W]
+    info: str = ""
+
+    @property
+    def nkmers(self) -> int:
+        return len(self.enc_v)
+
+    @property
+    def nleafslots(self) -> int:
+        return len(self.leaf_ses)
+
+    @staticmethod
+    def from_parts(lsh: LSHParams, residues: Sequence[int],
+                   entries: Tuple[np.ndarray, np.ndarray, np.ndarray],
+                   colors: ColorTable, tree: Optional[Tree],
+                   names: List[str], wbackbone: bool,
+                   rho_applied: bool = False, info: str = "") -> "DeviceIndex":
+        """Build the unified CSR from (global_row, enc, se) entry arrays.
+
+        residues: the resident residue classes mod m. Applies the partial-rho
+        coefficient |residues|/m unless rho_applied
+        (ref: src/index.cpp:188-201).
+        """
+        m = lsh.m
+        g_rows, enc, se = entries
+        resident = np.zeros(m, bool)
+        for r in residues:
+            resident[r] = True
+        res_rank = np.full(m, -1, np.int32)
+        res_rank[np.flatnonzero(resident)] = np.arange(int(resident.sum()), dtype=np.int32)
+        R = int(resident.sum())
+        nrows_u = ((lsh.nrows_global + m - 1) // m) * R
+
+        urow = (g_rows // m) * R + res_rank[g_rows % m]
+        order = np.lexsort((enc, urow))
+        urow = urow[order]
+        enc = enc[order]
+        se = se[order]
+        counts = np.bincount(urow, minlength=nrows_u)
+        row_start = np.zeros(nrows_u + 1, np.int64)
+        np.cumsum(counts, out=row_start[1:])
+        max_bucket = int(counts.max()) if len(counts) else 0
+
+        if not rho_applied:
+            colors.apply_rho_coef(R / m)
+
+        ftree = FlatTree.from_tree(tree) if tree is not None else None
+        leaf_ses = ftree.leaf_ses()
+        slot_of_se = {int(s): i for i, s in enumerate(leaf_ses)}
+        rho_slot = colors.rho[leaf_ses]
+        se_mask = colors.leaf_masks(slot_of_se, len(leaf_ses))
+        return DeviceIndex(
+            lsh=lsh, resident=resident, res_rank=res_rank, R=R,
+            nrows_u=nrows_u, row_start=row_start.astype(np.int64),
+            enc_v=enc.astype(np.uint32), se_v=se.astype(np.int32),
+            max_bucket=max_bucket, colors=colors, tree=tree, ftree=ftree,
+            wbackbone=wbackbone, names=names, leaf_ses=leaf_ses,
+            slot_of_se=slot_of_se, rho_slot=rho_slot, se_mask=se_mask,
+            info=info)
+
+    @staticmethod
+    def from_built(built: BuiltIndex) -> "DeviceIndex":
+        """From a fresh single-partial build (frac or single-residue)."""
+        p = built.params
+        lsh = p.lsh
+        residues = list(range(p.r + 1)) if p.frac else [p.r]
+        g_rows = _local_rows_to_global(built.inc, p)
+        return DeviceIndex.from_parts(
+            lsh, residues, (g_rows, built.enc_v, built.se_v), built.colors,
+            built.tree, built.names, wbackbone=built.tree is not None)
+
+    def placement_view(self, qtree: Optional[Tree] = None) -> "PlacementView":
+        return PlacementView.create(self, qtree)
+
+
+def _local_rows_to_global(inc: np.ndarray, p: IndexParams) -> np.ndarray:
+    """Expand reference-scheme CSR end-offsets into per-entry global rows.
+
+    Inverts local = (rix//m)*(r+1) + rix%m (frac) / rix//m (no-frac)
+    (ref: src/rqseq.cpp:125-139).
+    """
+    nrows = len(inc)
+    starts = np.concatenate([[0], inc[:-1]])
+    counts = (inc - starts).astype(np.int64)
+    local = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+    if p.frac:
+        q, res = local // (p.r + 1), local % (p.r + 1)
+        return q * p.m + res
+    return local * p.m + p.r
+
+
+@dataclass
+class PlacementView:
+    """Index joined with a placement (query) tree.
+
+    Captures map_to_qtree + eff_nchildren (ref: src/phytree.cpp:421-473) as
+    arrays: leaf_qse[slot] = qtree node id (0 if the leaf is absent from the
+    placement tree) and the dense ancestor-damping matrix W.
+    """
+
+    index: DeviceIndex
+    qtree: Tree
+    qflat: FlatTree
+    leaf_qse: np.ndarray      # int32 [S]
+    weights: np.ndarray       # float64 [qn+1, S]
+    candidate_ok: np.ndarray  # bool [qn+1]: structural candidate filter
+
+    @staticmethod
+    def create(index: DeviceIndex, qtree: Optional[Tree]) -> "PlacementView":
+        if qtree is None or qtree is index.tree:
+            qtree = index.tree
+            qflat = index.ftree
+            leaf_qse = index.leaf_ses.copy()
+        else:
+            se_to_node = map_to_qtree(index.tree, qtree)
+            qflat = FlatTree.from_tree(qtree)
+            leaf_qse = np.zeros(len(index.leaf_ses), np.int32)
+            for i, se in enumerate(index.leaf_ses):
+                nd = se_to_node[int(se)]
+                leaf_qse[i] = nd.se if nd is not None else 0
+        W = placement_weights(qflat, leaf_qse)
+        # (ref: src/query.cpp:268-281): keep nodes whose children are all
+        # covered and that are not unary
+        cand = (qflat.nchildren == qflat.eff_nchildren) & (qflat.nchildren != 1)
+        cand[0] = False
+        return PlacementView(index=index, qtree=qtree, qflat=qflat,
+                             leaf_qse=leaf_qse, weights=W, candidate_ok=cand)
+
+
+@dataclass
+class DeviceSketch:
+    """Single-target sketch arrays (ref: src/sketch.{hpp,cpp})."""
+
+    lsh: LSHParams
+    w: int
+    r: int
+    frac: bool
+    resident: np.ndarray
+    res_rank: np.ndarray
+    R: int
+    nrows_u: int
+    row_start: np.ndarray
+    enc_v: np.ndarray
+    max_bucket: int
+    rho: float
+
+    @staticmethod
+    def from_built(built: BuiltSketch) -> "DeviceSketch":
+        p = built.params
+        lsh = p.lsh
+        residues = list(range(p.r + 1)) if p.frac else [p.r]
+        g_rows = _local_rows_to_global(built.inc, p)
+        m = lsh.m
+        resident = np.zeros(m, bool)
+        for r in residues:
+            resident[r] = True
+        res_rank = np.full(m, -1, np.int32)
+        res_rank[np.flatnonzero(resident)] = np.arange(int(resident.sum()), dtype=np.int32)
+        R = int(resident.sum())
+        nrows_u = ((lsh.nrows_global + m - 1) // m) * R
+        urow = (g_rows // m) * R + res_rank[g_rows % m]
+        order = np.lexsort((built.enc_v, urow))
+        urow = urow[order]
+        enc = built.enc_v[order]
+        counts = np.bincount(urow, minlength=nrows_u)
+        row_start = np.zeros(nrows_u + 1, np.int64)
+        np.cumsum(counts, out=row_start[1:])
+        # rho partial rescale (ref: src/sketch.cpp:25-32)
+        rho = built.rho * (R / m)
+        return DeviceSketch(lsh=lsh, w=p.w, r=p.r, frac=p.frac,
+                            resident=resident, res_rank=res_rank, R=R,
+                            nrows_u=nrows_u, row_start=row_start,
+                            enc_v=enc.astype(np.uint32),
+                            max_bucket=int(counts.max()) if len(counts) else 0,
+                            rho=rho)

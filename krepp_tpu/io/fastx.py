@@ -1,0 +1,95 @@
+"""FASTA/FASTQ streaming reader and query batcher.
+
+kseq-equivalent semantics (ref: src/kseq.h): record name is the text up to
+the first whitespace; FASTA sequences may span multiple lines; gzip handled
+transparently. The query batcher mirrors QSeq::read_next_batch
+(ref: src/rqseq.cpp:180-197): a batch closes once cumulative bases reach
+RBATCH_SIZE * DSEQ_LEN = 76,800.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+from ..params import BATCH_BP_LIMIT
+from ..core.codec import seq_to_codes
+
+
+def _open_text(path: str):
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return io.TextIOWrapper(gzip.GzipFile(fileobj=f), encoding="ascii",
+                                errors="replace")
+    return io.TextIOWrapper(f, encoding="ascii", errors="replace")
+
+
+def _rec_name(header_rest: str) -> str:
+    parts = header_rest.split()
+    return parts[0] if parts else ""
+
+
+def read_fastx(path: str) -> Iterator[Tuple[str, str]]:
+    """Yield (name, sequence) records from FASTA or FASTQ (optionally .gz)."""
+    with _open_text(path) as f:
+        line = f.readline()
+        while line and not line.strip():
+            line = f.readline()
+        if not line:
+            return
+        if line.startswith(">"):
+            name = _rec_name(line[1:])
+            parts: List[str] = []
+            for line in f:
+                if line.startswith(">"):
+                    yield name, "".join(parts)
+                    name = _rec_name(line[1:])
+                    parts = []
+                else:
+                    parts.append(line.strip())
+            yield name, "".join(parts)
+        elif line.startswith("@"):
+            while True:
+                name = _rec_name(line[1:])
+                seq = f.readline().strip()
+                f.readline()  # '+'
+                f.readline()  # quality
+                yield name, seq
+                line = f.readline()
+                if not line:
+                    return
+        else:
+            raise ValueError(f"Unrecognised FASTA/FASTQ format in {path}")
+
+
+def read_genome_codes(path: str) -> Iterator[np.ndarray]:
+    """Yield per-contig base-code arrays for a genome file."""
+    for _name, seq in read_fastx(path):
+        yield seq_to_codes(seq)
+
+
+class QueryBatcher:
+    """Batches query reads by cumulative bp (ref: src/rqseq.cpp:180-197)."""
+
+    def __init__(self, path: str, bp_limit: int = BATCH_BP_LIMIT):
+        self.path = path
+        self.bp_limit = bp_limit
+
+    def __iter__(self) -> Iterator[Tuple[List[str], List[str]]]:
+        names: List[str] = []
+        seqs: List[str] = []
+        bpc = 0
+        for name, seq in read_fastx(self.path):
+            names.append(name)
+            seqs.append(seq)
+            bpc += len(seq)
+            if bpc >= self.bp_limit:
+                yield names, seqs
+                names, seqs, bpc = [], [], 0
+        if names:
+            yield names, seqs

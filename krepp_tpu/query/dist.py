@@ -1,0 +1,87 @@
+"""`dist` driver: per-read ML distances to every matching reference.
+
+Host orchestration of the device engine, reproducing the report semantics
+of IBatch::report_distances (ref: src/query.cpp:158-196) and the
+QueryIndex::estimate_distances pipeline (ref: src/krepp.cpp:347-394).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, TextIO
+
+import numpy as np
+
+from ..core.codec import seq_to_codes, pad_codes_batch
+from ..index.index import DeviceIndex
+from ..io.fastx import QueryBatcher
+from ..reports import dist_header, fmt5
+from .engine import QueryEngine, D_MAX
+
+
+def _bucket_len(n: int) -> int:
+    """Pad batch max length to limit jit recompiles."""
+    return max(64, ((n + 63) // 64) * 64)
+
+
+@dataclass
+class DistConfig:
+    hdist_th: int = 4
+    chisq_value: float = 2.706
+    dist_max: float = math.nan
+    multi: bool = True
+    no_filter: bool = True
+    summarize: bool = False
+
+
+def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
+             invocation: str, cfg: Optional[DistConfig] = None) -> int:
+    cfg = cfg or DistConfig()
+    engine = QueryEngine(dindex, cfg.hdist_th)
+    out.write(dist_header(invocation, cfg.summarize))
+    leaf_names = [dindex.ftree.names[se] for se in dindex.leaf_ses]
+    total = 0
+    wcount: Dict[int, float] = {}
+    twcount = 0.0
+    for names, seqs in QueryBatcher(query_path):
+        total += len(names)
+        codes, lengths = pad_codes_batch(
+            [seq_to_codes(s) for s in seqs], pad_to=_bucket_len(max(len(s) for s in seqs)))
+        lr = engine.run_leaf_stage(codes, lengths)
+        _report_batch(lr, names, leaf_names, cfg, out, wcount)
+    if cfg.summarize:
+        twcount = sum(wcount.values())
+        for slot in sorted(wcount):
+            w = wcount[slot]
+            out.write(f"{leaf_names[slot]}\t{fmt5(w)}\t{fmt5(w / twcount)}\n")
+    return total
+
+
+def _report_batch(lr, names: List[str], leaf_names: List[str],
+                  cfg: DistConfig, out: TextIO, wcount: Dict[int, float]):
+    B, S = lr.present.shape
+    dist_max = cfg.dist_max
+    no_dmax = math.isnan(dist_max)
+    for b in range(B):
+        slots = np.flatnonzero(lr.present[b])
+        if cfg.summarize:
+            # (ref: src/query.cpp:160-171): chisq filter always applies
+            sel = [s for s in slots
+                   if lr.ratio[b, s] < cfg.chisq_value
+                   and (no_dmax or lr.d[b, s] < dist_max)]
+            for s in sel:
+                wcount[s] = wcount.get(s, 0.0) + 1.0 / len(sel)
+            continue
+        if len(slots) == 0 or (not no_dmax and lr.closest_d[b] > dist_max):
+            out.write(f"{names[b]}\tNA\tNaN\n")
+            continue
+        if cfg.multi:
+            for s in slots:
+                if not cfg.no_filter and not (lr.ratio[b, s] < cfg.chisq_value):
+                    continue
+                if no_dmax or lr.d[b, s] < dist_max:
+                    out.write(f"{names[b]}\t{leaf_names[s]}\t{fmt5(lr.d[b, s])}\n")
+        else:
+            s = int(lr.closest_slot[b])
+            out.write(f"{names[b]}\t{leaf_names[s]}\t{fmt5(lr.closest_d[b])}\n")
