@@ -1,0 +1,145 @@
+"""End-to-end: place on the synthetic world vs the pure-Python oracle."""
+
+import io
+import math
+
+import numpy as np
+import pytest
+
+from krepp_tpu.params import IndexParams, LSHParams
+from krepp_tpu.index.build import build_index
+from krepp_tpu.index.index import DeviceIndex
+from krepp_tpu.query.engine import QueryEngine
+from krepp_tpu.query.place import run_place, PlaceConfig, PlaceAggregator
+from krepp_tpu.tree.newick import Tree
+from krepp_tpu.reports import fmt5
+from krepp_tpu.core.codec import seq_to_codes, pad_codes_batch
+
+import oracle_query
+import worldgen
+
+from test_e2e_dist import write_world, oracle_rho
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    rng = np.random.default_rng(77)
+    tmp_path = tmp_path_factory.mktemp("worldp")
+    nwk, genomes = worldgen.make_world(rng, nleaves=8, glen=1500, rate=0.06)
+    input_map = write_world(tmp_path, genomes)
+    params = IndexParams(lsh=LSHParams.generate(27, 11, 2, seed=9),
+                         w=35, r=1, frac=True)
+    tree = Tree.parse(nwk)
+    built = build_index(input_map, params, tree, progress=False)
+    di = DeviceIndex.from_built(built)
+    lsh = params.lsh
+    oi = oracle_query.OracleIndex(lsh.k, params.w, list(lsh.ppos),
+                                  list(lsh.npos), lsh.m, params.r, params.frac,
+                                  tree)
+    leaf_se = {built.ftree.names[se]: se
+               for se in range(1, built.ftree.nnodes + 1)
+               if built.ftree.is_leaf[se]}
+    for name in sorted(genomes):
+        rho = oracle_rho(genomes[name], lsh.k, params.w, list(lsh.ppos),
+                         list(lsh.npos), lsh.m, params.r, params.frac)
+        oi.add_genome(leaf_se[name], genomes[name], rho)
+    oi.apply_rho_partial()
+    reads = worldgen.sample_reads(rng, genomes, n=12, mut=0.04)
+    return built, di, oi, reads, tree
+
+
+def engine_place(di, cfg, reads):
+    engine = QueryEngine(di, cfg.hdist_th)
+    pv = di.placement_view(None)
+    agg = PlaceAggregator(engine, pv, cfg)
+    codes, lengths = pad_codes_batch([seq_to_codes(s) for _, s in reads])
+    lr = engine.run_leaf_stage(codes, lengths)
+    return lr, pv, agg.aggregate(lr)
+
+
+@pytest.mark.parametrize("multi", [True, False])
+def test_place_candidates_match_oracle(world, multi):
+    built, di, oi, reads, tree = world
+    cfg = PlaceConfig(multi=multi)
+    lr, pv, (hist_q, uc_q, rho_q, d_q, v_q, support, leq_tau, chisq_q) = \
+        engine_place(di, cfg, reads)
+    qflat = pv.qflat
+    qtree_nodes = {se: tree.se_to_node[se] for se in range(1, tree.nnodes + 1)}
+    for b, (rid, seq) in enumerate(reads):
+        want = oracle_query.place_read(oi, seq, qtree_nodes,
+                                       hdist_th=cfg.hdist_th,
+                                       chisq_value=cfg.chisq_value,
+                                       tau=cfg.tau, no_filter=cfg.no_filter,
+                                       multi=multi)
+        # reproduce the driver's selection logic
+        n_pres = int(lr.present[b].sum())
+        closest_leq = float(lr.hist_closest[b, : cfg.tau + 1].sum())
+        if n_pres == 0 or not (cfg.no_filter or closest_leq > 1.0):
+            assert want is None, (b, rid)
+            continue
+        assert want is not None, (b, rid)
+        if n_pres == 1:
+            s = int(lr.closest_slot[b])
+            got = [(int(pv.leaf_qse[s]), 1.0, float(lr.closest_d[b]),
+                    float(lr.v_closest[b]))]
+        else:
+            cand_mask = (support[b] & pv.candidate_ok & (qflat.parent != 0))
+            cand_mask &= cfg.no_filter | (leq_tau[b] > 1.0)
+            cand_mask &= chisq_q[b] < cfg.chisq_value
+            cand = np.flatnonzero(cand_mask)
+            lwr = np.exp(-chisq_q[b, cand] / 2.0)
+            tot = lwr.sum()
+            rows = [(int(q), float(lwr[i] / tot), float(d_q[b, q]),
+                     float(v_q[b, q])) for i, q in enumerate(cand)]
+            if multi:
+                got = rows
+            else:
+                order = sorted(range(len(cand)),
+                               key=lambda i: (qflat.card[cand[i]],
+                                              -d_q[b, cand[i]]))
+                got = [rows[order[-1]]]
+        wf = [(q, fmt5(l), fmt5(d)) for q, l, d, v in want]
+        gf = [(q, fmt5(l), fmt5(d)) for q, l, d, v in got]
+        assert sorted(gf) == sorted(wf), (b, rid, got, want)
+        # v (likelihood) agreement too
+        wv = {q: fmt5(-v) for q, l, d, v in want}
+        gv = {q: fmt5(-v) for q, l, d, v in got}
+        assert gv == wv, (b, rid)
+
+
+def test_run_place_jplace_well_formed(world, tmp_path):
+    import json
+
+    built, di, oi, reads, tree = world
+    qpath = tmp_path / "q.fq"
+    with open(qpath, "w") as f:
+        for rid, seq in reads:
+            f.write(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n")
+    out = io.StringIO()
+    n = run_place(di, str(qpath), out, "krepp-tpu place test", PlaceConfig())
+    text = out.getvalue()
+    doc = json.loads(text)
+    assert doc["version"] == 3
+    assert doc["fields"][0] == "edge_num"
+    assert len(doc["placements"]) >= 1
+    for entry in doc["placements"]:
+        for row in entry["p"]:
+            assert len(row) == 6
+    assert doc["metadata"]["num_queries"] == str(len(reads))
+    assert doc["tree"].endswith(";")
+
+
+def test_run_place_tabular(world, tmp_path):
+    built, di, oi, reads, tree = world
+    qpath = tmp_path / "q.fq"
+    with open(qpath, "w") as f:
+        for rid, seq in reads:
+            f.write(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n")
+    out = io.StringIO()
+    run_place(di, str(qpath), out, "inv", PlaceConfig(tabular=True))
+    lines = out.getvalue().splitlines()
+    assert lines[2] == "SEQ_ID\tDISTAL_NODE\tEDGE_NUM\tLWR\tDIST"
+    assert len(lines) > 3
+    for ln in lines[3:]:
+        parts = ln.split("\t")
+        assert len(parts) == 5

@@ -1,0 +1,186 @@
+"""Sketch/seek end-to-end + artifact format roundtrips."""
+
+import io
+import math
+
+import numpy as np
+import pytest
+
+from krepp_tpu.params import IndexParams, LSHParams
+from krepp_tpu.index.build import build_index, build_sketch
+from krepp_tpu.index.index import DeviceIndex, DeviceSketch
+from krepp_tpu.index import artifact
+from krepp_tpu.query.engine import SeekEngine
+from krepp_tpu.query.seek import run_seek
+from krepp_tpu.query.dist import run_dist, DistConfig
+from krepp_tpu.tree.newick import Tree
+from krepp_tpu.reports import fmt5
+from krepp_tpu.core.codec import seq_to_codes, pad_codes_batch
+
+import oracle
+import oracle_query
+import worldgen
+
+from test_e2e_dist import write_world, oracle_rho
+
+
+@pytest.fixture(scope="module")
+def sketch_world(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    tmp = tmp_path_factory.mktemp("sk")
+    glen = 2200
+    genome = "".join(rng.choice(list("ACGT"), size=glen))
+    gpath = tmp / "target.fna"
+    with open(gpath, "w") as f:
+        f.write(f">target\n{genome}\n")
+    params = IndexParams(lsh=LSHParams.generate(26, 10, 2, seed=4),
+                         w=32, r=1, frac=True)
+    built = build_sketch(str(gpath), params, progress=False)
+    reads = worldgen.sample_reads(rng, {"target": [genome]}, n=10, mut=0.05)
+    return built, params, genome, reads, tmp
+
+
+def oracle_seek(built, params, genome, seq, hdist_th=4):
+    """SSummary/SBatch semantics (ref: src/seek.cpp)."""
+    lsh = params.lsh
+    k, h = lsh.k, lsh.h
+    # oracle sketch: row -> set(enc)
+    table = {}
+    kept, _, _ = oracle.extract_mers_oracle(
+        genome, k, params.w, list(lsh.ppos), list(lsh.npos), lsh.m,
+        params.r, params.frac)
+    for row, enc in kept:
+        table.setdefault(row, set()).add(enc)
+    rho = oracle_rho([genome], k, params.w, list(lsh.ppos), list(lsh.npos),
+                     lsh.m, params.r, params.frac)
+    rho *= (params.r + 1) / lsh.m if params.frac else 1 / lsh.m
+    mers = oracle.search_mers_oracle(seq, k, list(lsh.ppos), list(lsh.npos))
+    onmers = len(mers)
+    results = []
+    for si in range(2):
+        hist = [0.0] * (hdist_th + 1)
+        match = 0.0
+        for mer in mers:
+            pos, rix, res = mer[3 * si: 3 * si + 3][0], mer[1 + 3 * si], mer[2 + 3 * si]
+            rr = rix % lsh.m
+            if not (rr <= params.r if params.frac else rr == params.r):
+                continue
+            local = rix // lsh.m * (params.r + 1) + rr if params.frac else rix // lsh.m
+            hmin = hdist_th + 1
+            for enc in table.get(local, ()):  # min over bucket
+                hd = oracle.hdist_lr32(enc, res)
+                if hd < hmin:
+                    hmin = hd
+            if hmin <= hdist_th:
+                match += 1
+                hist[hmin] += 1
+        uc = onmers - match
+        f = lambda d: oracle.llh_oracle(d, hist, uc, rho, k, h, hdist_th)
+        d, v = oracle.brent_oracle(f, 1e-10, 0.5)
+        results.append((match, d))
+    (m_or, d_or), (m_rc, d_rc) = results
+    if m_or + m_rc == 0:
+        return None
+    return d_or if d_or < d_rc else d_rc
+
+
+def test_seek_matches_oracle(sketch_world):
+    built, params, genome, reads, tmp = sketch_world
+    ds = DeviceSketch.from_built(built)
+    engine = SeekEngine(ds, 4)
+    codes, lengths = pad_codes_batch([seq_to_codes(s) for _, s in reads])
+    has, d = engine.run(codes, lengths)
+    for b, (rid, seq) in enumerate(reads):
+        want = oracle_seek(built, params, genome, seq)
+        if want is None:
+            assert not has[b], (b, rid)
+        else:
+            assert has[b], (b, rid)
+            assert fmt5(float(d[b])) == fmt5(want), (b, rid, d[b], want)
+
+
+def test_sketch_reference_roundtrip(sketch_world, tmp_path):
+    built, params, genome, reads, tmp = sketch_world
+    path = str(tmp_path / "sketch.bin")
+    artifact.save_sketch_reference(built, path)
+    ds = artifact.load_sketch_reference(path)
+    ds0 = DeviceSketch.from_built(built)
+    assert np.array_equal(ds.enc_v, ds0.enc_v)
+    assert np.array_equal(ds.row_start, ds0.row_start)
+    assert abs(ds.rho - ds0.rho) < 1e-15
+    assert ds.lsh == ds0.lsh
+
+
+def test_run_seek_output(sketch_world, tmp_path):
+    built, params, genome, reads, tmp = sketch_world
+    ds = DeviceSketch.from_built(built)
+    qpath = tmp_path / "q.fq"
+    with open(qpath, "w") as f:
+        for rid, seq in reads:
+            f.write(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n")
+    out = io.StringIO()
+    n = run_seek(ds, str(qpath), out, "inv")
+    assert n == len(reads)
+    lines = out.getvalue().splitlines()
+    assert lines[1] == "SEQ_ID\tDIST"
+    assert len(lines) == 2 + len(reads)
+
+
+@pytest.fixture(scope="module")
+def index_world(tmp_path_factory):
+    rng = np.random.default_rng(101)
+    tmp = tmp_path_factory.mktemp("ia")
+    nwk, genomes = worldgen.make_world(rng, nleaves=6, glen=1400, rate=0.05)
+    input_map = write_world(tmp, genomes)
+    params = IndexParams(lsh=LSHParams.generate(27, 11, 4, seed=2),
+                         w=35, r=1, frac=True)
+    tree = Tree.parse(nwk)
+    built = build_index(input_map, params, tree, progress=False)
+    reads = worldgen.sample_reads(rng, genomes, n=8, mut=0.05)
+    return built, reads, tmp
+
+
+def _dist_text(di, reads, tmp_path, tag):
+    qpath = tmp_path / f"q_{tag}.fq"
+    with open(qpath, "w") as f:
+        for rid, seq in reads:
+            f.write(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n")
+    out = io.StringIO()
+    run_dist(di, str(qpath), out, "inv", DistConfig())
+    return out.getvalue()
+
+
+def test_native_artifact_roundtrip(index_world, tmp_path):
+    built, reads, tmp = index_world
+    d = str(tmp_path / "native_idx")
+    artifact.save_native(built, d)
+    di0 = DeviceIndex.from_built(built)
+    di1 = artifact.load_native_device(d)
+    assert np.array_equal(di0.enc_v, di1.enc_v)
+    assert np.array_equal(di0.se_v, di1.se_v)
+    assert np.array_equal(di0.row_start, di1.row_start)
+    assert np.allclose(di0.colors.rho, di1.colors.rho)
+    assert _dist_text(di0, reads, tmp_path, "a") == _dist_text(di1, reads, tmp_path, "b")
+
+
+def test_reference_artifact_roundtrip(index_world, tmp_path):
+    built, reads, tmp = index_world
+    d = str(tmp_path / "ref_idx")
+    artifact.save_index_reference(built, d)
+    di0 = DeviceIndex.from_built(built)
+    di1 = artifact.load_index_reference(d)
+    # colors decode to identical leafsets even though pse ids may differ
+    assert di0.nkmers == di1.nkmers
+    assert np.array_equal(di0.row_start, di1.row_start)
+    s0 = {(int(r), int(e)): frozenset(
+        int(x) for x in di0.colors.leaves_of(int(di0.se_v[i])))
+        for i, (r, e) in enumerate(zip(
+            np.repeat(np.arange(di0.nrows_u), np.diff(di0.row_start)),
+            di0.enc_v))}
+    s1 = {(int(r), int(e)): frozenset(
+        int(x) for x in di1.colors.leaves_of(int(di1.se_v[i])))
+        for i, (r, e) in enumerate(zip(
+            np.repeat(np.arange(di1.nrows_u), np.diff(di1.row_start)),
+            di1.enc_v))}
+    assert s0 == s1
+    assert _dist_text(di0, reads, tmp_path, "c") == _dist_text(di1, reads, tmp_path, "d")
