@@ -1,0 +1,116 @@
+"""Benchmark: dist reads/s on the current JAX backend (TPU under the driver).
+
+Builds a synthetic 12-genome index in memory, streams mutated 150 bp read
+batches through the full dist leaf stage (probe + histogram + batched Brent
+ML), and prints ONE JSON line:
+
+  {"metric": "dist_reads_per_s", "value": N, "unit": "reads/s",
+   "vs_baseline": R}
+
+vs_baseline = TPU reads/s over the same engine run on one CPU host process
+(the reference binary cannot be compiled in this image — its submodules and
+toy genomes are stripped — so the CPU run of this engine is the stand-in;
+see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def fast_reads(rng, genomes, n, rlen=150, mut=0.05):
+    """Vectorized read sampler over code arrays."""
+    from krepp_tpu.core.codec import seq_to_codes
+
+    gcodes = [seq_to_codes(genomes[g][0]) for g in sorted(genomes)]
+    reads = np.empty((n, rlen), np.uint8)
+    for i in range(n):
+        g = gcodes[rng.integers(len(gcodes))]
+        start = rng.integers(0, len(g) - rlen)
+        reads[i] = g[start: start + rlen]
+    # random substitutions
+    mask = rng.random((n, rlen)) < mut
+    reads = np.where(mask, (reads + rng.integers(1, 4, size=(n, rlen))) % 4,
+                     reads).astype(np.uint8)
+    return reads
+
+
+def run_bench(n_batches: int, batch: int = 512, seed: int = 7,
+              nleaves: int = 12, glen: int = 120_000):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    from krepp_tpu.index.index import DeviceIndex
+    from krepp_tpu.query.engine import QueryEngine
+    from krepp_tpu.testing import build_world_index
+
+    t0 = time.time()
+    built, genomes, tree = build_world_index(seed=seed, nleaves=nleaves,
+                                             glen=glen, rate=0.05)
+    build_s = time.time() - t0
+    print(f"[bench] index build: {built.nkmers} k-mers in {build_s:.1f}s "
+          f"({built.nkmers / build_s:.0f} kmers/s)", file=sys.stderr)
+    di = DeviceIndex.from_built(built)
+    engine = QueryEngine(di, hdist_th=4)
+
+    rng = np.random.default_rng(seed + 1)
+    rlen = 150
+    codes = fast_reads(rng, genomes, batch * (n_batches + 2), rlen=rlen)
+    lengths = np.full(batch, rlen, np.int32)
+    batches = [codes[i * batch:(i + 1) * batch] for i in range(n_batches + 2)]
+
+    # warmup / compile
+    lr = engine.run_leaf_stage(batches[0], lengths)
+    lr = engine.run_leaf_stage(batches[1], lengths)
+    print(f"[bench] warmup done; present frac "
+          f"{lr.present.any(axis=1).mean():.2f}", file=sys.stderr)
+
+    t0 = time.time()
+    for i in range(2, n_batches + 2):
+        lr = engine.run_leaf_stage(batches[i], lengths)
+    elapsed = time.time() - t0
+    reads_per_s = batch * n_batches / elapsed
+    print(f"[bench] {batch * n_batches} reads in {elapsed:.2f}s -> "
+          f"{reads_per_s:.0f} reads/s on {jax.devices()[0]}", file=sys.stderr)
+    return reads_per_s
+
+
+def main():
+    if "--cpu-baseline" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        v = run_bench(n_batches=4)
+        print(json.dumps({"cpu_reads_per_s": v}))
+        return
+
+    value = run_bench(n_batches=16)
+
+    vs_baseline = 1.0
+    try:
+        env = dict(os.environ)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
+            capture_output=True, text=True, timeout=900, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                cpu_v = json.loads(line)["cpu_reads_per_s"]
+                vs_baseline = value / cpu_v
+                print(f"[bench] cpu baseline {cpu_v:.0f} reads/s -> "
+                      f"speedup {vs_baseline:.2f}x", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
+
+    print(json.dumps({"metric": "dist_reads_per_s", "value": round(value, 1),
+                      "unit": "reads/s", "vs_baseline": round(vs_baseline, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -70,9 +70,23 @@ def make_llh(k: int, h: int, hdist_th: int):
     """
     binom_k, binom_hnk = binom_tables(k, h, hdist_th)
 
+    def ipow(x, n: int):
+        """x**n by squaring: multiplications only. On TPU, f64 is emulated
+        (double-double) and jnp.power routes through exp/log losing ~1e-8
+        relative accuracy, which is enough to move the Brent minimum at the
+        5th decimal; products stay accurate."""
+        acc = None
+        base = x
+        while n:
+            if n & 1:
+                acc = base if acc is None else acc * base
+            base = base * base
+            n >>= 1
+        return acc if acc is not None else jnp.ones_like(x)
+
     def llh(d, hist, uc, rho):
         d = d.astype(F)
-        powdc = jnp.power(1.0 - d, float(k))
+        powdc = ipow(1.0 - d, k)
         logdn = jnp.log(1.0 - d)
         logdp = jnp.log(d) - logdn
         logdn = logdn * float(k)

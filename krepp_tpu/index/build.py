@@ -77,6 +77,15 @@ def build_index(input_map: Sequence[Tuple[str, str]], params: IndexParams,
     """
     names = [n for n, _ in input_map]
     path_of = dict(input_map)
+    contig_source = {n: (lambda p=path_of[n]: read_genome_codes(p))
+                     for n in names if n in path_of}
+    return build_index_from_sources(names, contig_source, params, tree, progress)
+
+
+def build_index_from_sources(names: List[str], contig_source,
+                             params: IndexParams, tree: Optional[Tree] = None,
+                             progress: bool = True) -> BuiltIndex:
+    """Core build: contig_source[name]() yields per-contig code arrays."""
     if tree is None:
         print("No tree has given as a guide, the color index could be suboptimal.",
               file=sys.stderr)
@@ -95,12 +104,12 @@ def build_index(input_map: Sequence[Tuple[str, str]], params: IndexParams,
         se = leaf_se.get(name)
         if se is None:
             continue
-        if name not in path_of:
+        if name not in contig_source:
             if progress:
                 print(f"Genome skipped: {name}", file=sys.stderr)
             continue
         rows, res, g_rho = minimizer.extract_genome_mers(
-            read_genome_codes(path_of[name]), params)
+            contig_source[name](), params)
         rows, res = _dedupe_genome(rows, res)
         rho[se] = g_rho
         all_rows.append(rows)

@@ -1,64 +1,3 @@
-"""Synthetic mini-world generator for end-to-end tests: a phylogeny of
-mutated genomes plus reads sampled from them."""
+"""Thin shim: the world generator lives in krepp_tpu.testing."""
 
-from __future__ import annotations
-
-import numpy as np
-
-BASES = "ACGT"
-
-
-def mutate(rng, seq: str, rate: float) -> str:
-    out = list(seq)
-    n_mut = rng.binomial(len(seq), rate)
-    for pos in rng.choice(len(seq), size=n_mut, replace=False):
-        out[pos] = BASES[(BASES.index(out[pos]) + rng.integers(1, 4)) % 4]
-    return "".join(out)
-
-
-def make_world(rng, nleaves=6, glen=2000, rate=0.04):
-    """Binary-ish tree of genomes derived from one ancestor.
-
-    Returns (newick string, {name: [contig strings]}).
-    """
-    root = "".join(rng.choice(list(BASES), size=glen))
-
-    def split(names, seq, depth):
-        if len(names) == 1:
-            return f"{names[0]}:{0.05 + 0.01 * depth:.4f}", {names[0]: [seq]}
-        half = len(names) // 2
-        left_seq = mutate(rng, seq, rate)
-        right_seq = mutate(rng, seq, rate)
-        lnwk, lgen = split(names[:half], left_seq, depth + 1)
-        rnwk, rgen = split(names[half:], right_seq, depth + 1)
-        lgen.update(rgen)
-        return f"({lnwk},{rnwk}):{0.02 + 0.005 * depth:.4f}", lgen
-
-    names = [f"G{i:03d}" for i in range(nleaves)]
-    nwk, genomes = split(names, root, 0)
-    # root branch length formatting: strip the trailing :x on the root
-    nwk = nwk.rsplit(":", 1)[0] + ";"
-    return nwk, genomes
-
-
-def sample_reads(rng, genomes, n=20, rlen=150, mut=0.05, with_n=2,
-                 with_garbage=2):
-    """Reads drawn from random genomes + mutations; some with Ns; some
-    unrelated garbage."""
-    names = sorted(genomes)
-    reads = []
-    for i in range(n):
-        g = names[rng.integers(len(names))]
-        seq = genomes[g][0]
-        start = rng.integers(0, len(seq) - rlen)
-        r = mutate(rng, seq[start: start + rlen], mut)
-        if i < with_n:
-            r = list(r)
-            for pos in rng.choice(rlen, size=3, replace=False):
-                r[pos] = "N"
-            r = "".join(r)
-        reads.append((f"read{i}", r))
-    for j in range(with_garbage):
-        reads.append((f"garbage{j}",
-                      "".join(rng.choice(list(BASES), size=rlen))))
-    return reads
+from krepp_tpu.testing import BASES, make_world, mutate, sample_reads  # noqa: F401
