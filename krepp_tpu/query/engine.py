@@ -265,8 +265,12 @@ class QueryEngine:
             leaf_ok = np.ones(self.S, bool)
         out = self._stage2_jit(hist_or, hist_rc, minall_or, minall_rc,
                                onmers, jnp.asarray(leaf_ok))
+        # one batched device_get: per-array fetches serialize device round
+        # trips and dominate wall clock on remote-attached TPUs
+        fetched = jax.device_get(tuple(out) + (onmers,))
         (present, hist_f, d_f, v_f, mc_f, uc_f, rho, best_slot, best_d,
-         hist_c, uc_c, rho_c, v_c, ratio) = (np.asarray(x) for x in out)
+         hist_c, uc_c, rho_c, v_c, ratio) = fetched[:-1]
+        onmers = fetched[-1]
         return LeafResults(
             present=present, hist=hist_f, d=d_f, v=v_f, match=mc_f, uc=uc_f,
             rho=np.asarray(rho), closest_slot=best_slot, closest_d=best_d,
@@ -369,4 +373,4 @@ class SeekEngine:
 
     def run(self, codes: np.ndarray, lengths: np.ndarray):
         has, d = self._run_jit(jnp.asarray(codes), jnp.asarray(lengths))
-        return np.asarray(has), np.asarray(d)
+        return jax.device_get((has, d))

@@ -104,7 +104,7 @@ class PlaceAggregator:
             jnp.asarray(lr.onmers), jnp.asarray(lr.lengths),
             jnp.asarray(lr.hist_closest), jnp.asarray(lr.uc_closest),
             jnp.asarray(lr.rho_closest), jnp.asarray(lr.v_closest))
-        return tuple(np.asarray(x) for x in out)
+        return jax.device_get(tuple(out))
 
 
 def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
