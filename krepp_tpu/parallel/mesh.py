@@ -109,6 +109,9 @@ class ShardedQueryEngine(QueryEngine):
         gmin0 = jnp.full(valid.shape, HD_SENTINEL, jnp.int32)
         return jax.lax.fori_loop(0, self.di.max_bucket, body, (Mm0, gmin0))
 
+    def _probe_dispatch(self, codes, lengths):
+        return self._sharded_probe(codes, lengths)
+
     def _sharded_probe(self, codes, lengths):
         lsh = self.lsh
         k = lsh.k

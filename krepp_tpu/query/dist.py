@@ -36,20 +36,36 @@ class DistConfig:
 
 
 def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
-             invocation: str, cfg: Optional[DistConfig] = None) -> int:
+             invocation: str, cfg: Optional[DistConfig] = None,
+             engine_factory=None) -> int:
     cfg = cfg or DistConfig()
-    engine = QueryEngine(dindex, cfg.hdist_th)
+    engine = engine_factory(dindex, cfg.hdist_th) if engine_factory else \
+        QueryEngine(dindex, cfg.hdist_th)
     out.write(dist_header(invocation, cfg.summarize))
     leaf_names = [dindex.ftree.names[se] for se in dindex.leaf_ses]
     total = 0
     wcount: Dict[int, float] = {}
     twcount = 0.0
+
+    from collections import deque
+
+    pending = deque()
+
+    def flush_one():
+        names_b, lengths_b, dev = pending.popleft()
+        lr = engine.fetch_leaf_stage(dev, lengths_b)
+        _report_batch(lr, names_b, leaf_names, cfg, out, wcount)
+
     for names, seqs in QueryBatcher(query_path):
         total += len(names)
         codes, lengths = pad_codes_batch(
             [seq_to_codes(s) for s in seqs], pad_to=_bucket_len(max(len(s) for s in seqs)))
-        lr = engine.run_leaf_stage(codes, lengths)
-        _report_batch(lr, names, leaf_names, cfg, out, wcount)
+        dev = engine.run_leaf_stage_async(codes, lengths)
+        pending.append((names, lengths, dev))
+        if len(pending) >= 3:
+            flush_one()
+    while pending:
+        flush_one()
     if cfg.summarize:
         twcount = sum(wcount.values())
         for slot in sorted(wcount):

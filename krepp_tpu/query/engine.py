@@ -57,6 +57,7 @@ class QueryEngine:
         self._llh = make_llh(self.lsh.k, self.lsh.h, self.th)
         self._probe_jit = jax.jit(self._probe_impl)
         self._stage2_jit = jax.jit(self._stage2_impl)
+        self._full_jit = jax.jit(self._full_impl)
 
     # ------------------------------------------------------------- stage 1
     def _strand_probe(self, rix, res, valid, acc_shape):
@@ -94,7 +95,21 @@ class QueryEngine:
 
         Mm0 = jnp.zeros((th + 1,) + acc_shape + (self.W,), jnp.uint32)
         gmin0 = jnp.full(acc_shape, HD_SENTINEL, jnp.int32)
-        Mm, gmin = jax.lax.fori_loop(0, self.di.max_bucket, body, (Mm0, gmin0))
+        # loop only to the largest bucket actually hit by this batch (the
+        # static max_bucket bound would be dominated by the most skewed
+        # bucket of the whole index)
+        maxcnt = jnp.minimum(jnp.max(cnt), self.di.max_bucket)
+
+        def cond(carry):
+            j, _, _ = carry
+            return j < maxcnt
+
+        def wbody(carry):
+            j, Mm, gmin = carry
+            Mm, gmin = body(j, (Mm, gmin))
+            return j + 1, Mm, gmin
+
+        _, Mm, gmin = jax.lax.while_loop(cond, wbody, (jnp.int32(0), Mm0, gmin0))
         return Mm, gmin
 
     def _hist_from_masks(self, Mm):
@@ -251,23 +266,32 @@ class QueryEngine:
         return (present, hist_f, d_f, v_f, mc_f, uc_f, rho,
                 best_slot, best_d, hist_c, uc_c, rho_c, v_c, ratio)
 
-    # -------------------------------------------------------------- public
-    def run_leaf_stage(self, codes: np.ndarray, lengths: np.ndarray,
-                       leaf_ok: Optional[np.ndarray] = None):
-        """Full stage1+2. Returns a LeafResults bundle of numpy arrays.
+    def _probe_dispatch(self, codes, lengths):
+        """Overridden by ShardedQueryEngine (resolved at trace time)."""
+        return self._probe_impl(codes, lengths)
 
-        leaf_ok masks leaf slots absent from the placement tree (the probe
-        decode skips them, ref: src/query.cpp:374-375).
-        """
-        hist_or, hist_rc, minall_or, minall_rc, onmers = self._probe_jit(
-            jnp.asarray(codes), jnp.asarray(lengths))
+    def _full_impl(self, codes, lengths, leaf_ok):
+        """Fused probe + stage 2 (single dispatch)."""
+        probe_out = self._probe_dispatch(codes, lengths)
+        out = self._stage2_impl(*probe_out, leaf_ok)
+        return tuple(out) + (probe_out[-1],)  # append onmers
+
+    # -------------------------------------------------------------- public
+    def run_leaf_stage_async(self, codes: np.ndarray, lengths: np.ndarray,
+                             leaf_ok: Optional[np.ndarray] = None):
+        """Dispatch the fused step; returns the device output tuple without
+        blocking (for driver-level pipelining)."""
         if leaf_ok is None:
             leaf_ok = np.ones(self.S, bool)
-        out = self._stage2_jit(hist_or, hist_rc, minall_or, minall_rc,
-                               onmers, jnp.asarray(leaf_ok))
-        # one batched device_get: per-array fetches serialize device round
-        # trips and dominate wall clock on remote-attached TPUs
-        fetched = jax.device_get(tuple(out) + (onmers,))
+        return self._full_jit(jnp.asarray(codes), jnp.asarray(lengths),
+                              jnp.asarray(leaf_ok))
+
+    def fetch_leaf_stage(self, dev_out, lengths: np.ndarray) -> "LeafResults":
+        """One batched device_get of a run_leaf_stage_async result."""
+        return self.fetch_prefetched(jax.device_get(tuple(dev_out)), lengths)
+
+    def fetch_prefetched(self, fetched, lengths: np.ndarray) -> "LeafResults":
+        """Build LeafResults from an already-device_get'ed output tuple."""
         (present, hist_f, d_f, v_f, mc_f, uc_f, rho, best_slot, best_d,
          hist_c, uc_c, rho_c, v_c, ratio) = fetched[:-1]
         onmers = fetched[-1]
@@ -277,6 +301,16 @@ class QueryEngine:
             hist_closest=hist_c, uc_closest=uc_c, rho_closest=rho_c,
             v_closest=v_c, ratio=ratio, onmers=np.asarray(onmers),
             lengths=np.asarray(lengths))
+
+    def run_leaf_stage(self, codes: np.ndarray, lengths: np.ndarray,
+                       leaf_ok: Optional[np.ndarray] = None):
+        """Full stage1+2. Returns a LeafResults bundle of numpy arrays.
+
+        leaf_ok masks leaf slots absent from the placement tree (the probe
+        decode skips them, ref: src/query.cpp:374-375).
+        """
+        return self.fetch_leaf_stage(
+            self.run_leaf_stage_async(codes, lengths, leaf_ok), lengths)
 
 
 @dataclass

@@ -56,6 +56,7 @@ class PlaceAggregator:
         self._rho_slot = engine._rho_slot
         self._llh = engine._llh
         self._agg_jit = jax.jit(self._agg_impl)
+        self._agg_fused_jit = jax.jit(self._agg_fused)
 
     def _agg_impl(self, present, hist, match, d, v, uc, onmers, lengths,
                   hist_c, uc_c, rho_c, v_c):
@@ -106,6 +107,16 @@ class PlaceAggregator:
             jnp.asarray(lr.rho_closest), jnp.asarray(lr.v_closest))
         return jax.device_get(tuple(out))
 
+    def _agg_fused(self, dev_out, lengths):
+        """Stage 3 straight off the fused leaf-stage device tuple."""
+        (present, hist_f, d_f, v_f, mc_f, uc_f, rho, best_slot, best_d,
+         hist_c, uc_c, rho_c, v_c, ratio, onmers) = dev_out
+        return self._agg_impl(present, hist_f, mc_f, d_f, v_f, uc_f,
+                              onmers, lengths, hist_c, uc_c, rho_c, v_c)
+
+    def aggregate_async(self, dev_out, lengths: np.ndarray):
+        return self._agg_fused_jit(tuple(dev_out), jnp.asarray(lengths))
+
 
 def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
               invocation: str, cfg: Optional[PlaceConfig] = None,
@@ -126,15 +137,32 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
     total = 0
     has_previous = False
     wcount: Dict[int, float] = {}
+
+    from collections import deque
+
+    pending = deque()
+
+    def flush_one():
+        nonlocal has_previous
+        names_b, lengths_b, dev, aggdev = pending.popleft()
+        fetched = jax.device_get(tuple(dev) + tuple(aggdev))
+        lr = engine.fetch_prefetched(fetched[: len(dev)], lengths_b)
+        hist_q, uc_q, rho_q, d_q, v_q, support, leq_tau, chisq_q =             fetched[len(dev):]
+        has_previous = _report_batch(
+            lr, names_b, pv, cfg, out, wcount, has_previous,
+            hist_q, d_q, v_q, support, leq_tau, chisq_q)
+
     for names, seqs in QueryBatcher(query_path):
         total += len(names)
         codes, lengths = pad_codes_batch(
             [seq_to_codes(s) for s in seqs], pad_to=_bucket_len(max(len(s) for s in seqs)))
-        lr = engine.run_leaf_stage(codes, lengths, leaf_ok=leaf_ok)
-        hist_q, uc_q, rho_q, d_q, v_q, support, leq_tau, chisq_q = agg.aggregate(lr)
-        has_previous = _report_batch(
-            lr, names, pv, cfg, out, wcount, has_previous,
-            hist_q, d_q, v_q, support, leq_tau, chisq_q)
+        dev = engine.run_leaf_stage_async(codes, lengths, leaf_ok=leaf_ok)
+        aggdev = agg.aggregate_async(dev, lengths)
+        pending.append((names, lengths, dev, aggdev))
+        if len(pending) >= 3:
+            flush_one()
+    while pending:
+        flush_one()
     if cfg.summarize:
         twcount = sum(wcount.values())
         for q in sorted(wcount):
