@@ -25,27 +25,18 @@ import numpy as np
 
 
 def fast_reads(rng, genomes, n, rlen=150, mut=0.05):
-    """Vectorized read sampler over code arrays."""
-    from krepp_tpu.core.codec import seq_to_codes
+    from krepp_tpu.testing import sample_read_codes
 
-    gcodes = [seq_to_codes(genomes[g][0]) for g in sorted(genomes)]
-    reads = np.empty((n, rlen), np.uint8)
-    for i in range(n):
-        g = gcodes[rng.integers(len(gcodes))]
-        start = rng.integers(0, len(g) - rlen)
-        reads[i] = g[start: start + rlen]
-    # random substitutions
-    mask = rng.random((n, rlen)) < mut
-    reads = np.where(mask, (reads + rng.integers(1, 4, size=(n, rlen))) % 4,
-                     reads).astype(np.uint8)
-    return reads
+    return sample_read_codes(rng, genomes, n, rlen=rlen, mut=mut)
 
 
 def run_bench(n_batches: int, batch: int = 512, seed: int = 7,
-              nleaves: int = 12, glen: int = 120_000):
+              nleaves: int = 24, glen: int = 500_000):
     import jax
 
-    jax.config.update("jax_enable_x64", True)
+    from krepp_tpu import configure
+
+    configure()
     from krepp_tpu.index.index import DeviceIndex
     from krepp_tpu.query.engine import QueryEngine
     from krepp_tpu.testing import build_world_index

@@ -33,3 +33,24 @@ def enable_x64() -> None:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+
+
+def configure(cache_dir: str | None = None) -> None:
+    """Standard runtime configuration: x64 + persistent compilation cache.
+
+    The compilation cache matters a lot on remotely-attached TPUs where a
+    cold compile takes tens of seconds.
+    """
+    import os
+
+    import jax
+
+    enable_x64()
+    cache_dir = cache_dir or os.environ.get(
+        "KREPP_TPU_CACHE", os.path.expanduser("~/.cache/krepp_tpu_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass

@@ -11,7 +11,7 @@ import math
 import sys
 import time
 
-from . import REFERENCE_VERSION, __version__, enable_x64
+from . import REFERENCE_VERSION, __version__, configure
 
 
 def _invocation() -> str:
@@ -167,7 +167,7 @@ def main(argv=None) -> int:
     print(f"krepp-tpu version: {__version__} "
           f"(reference-compatible: krepp {REFERENCE_VERSION})", file=sys.stderr)
     args = build_parser().parse_args(argv)
-    enable_x64()
+    configure()
     inv = _invocation()
     t0 = time.time()
     print(f"Invocation: {inv}", file=sys.stderr)

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..params import IndexParams
 from ..core import minimizer
+from ..core import winnow_device
 from ..io.fastx import read_genome_codes
 from ..tree.newick import Tree
 from ..tree.flat import FlatTree
@@ -108,7 +109,7 @@ def build_index_from_sources(names: List[str], contig_source,
             if progress:
                 print(f"Genome skipped: {name}", file=sys.stderr)
             continue
-        rows, res, g_rho = minimizer.extract_genome_mers(
+        rows, res, g_rho = winnow_device.extract_genome_mers_device(
             contig_source[name](), params)
         rows, res = _dedupe_genome(rows, res)
         rho[se] = g_rho
@@ -162,7 +163,8 @@ def _merge_and_color(rows: np.ndarray, res: np.ndarray, leaf: np.ndarray,
 
 def build_sketch(path: str, params: IndexParams, progress: bool = True) -> BuiltSketch:
     """Single-genome sketch (ref: src/krepp.cpp:110-119)."""
-    rows, res, rho = minimizer.extract_genome_mers(read_genome_codes(path), params)
+    rows, res, rho = winnow_device.extract_genome_mers_device(
+        read_genome_codes(path), params)
     rows, res = _dedupe_genome(rows, res)
     key = rows.astype(np.uint64) << np.uint64(32) | res.astype(np.uint64)
     key = np.unique(key)

@@ -64,3 +64,46 @@ def test_genome_rho():
     rows, res, rho = minimizer.extract_genome_mers(contigs, params)
     assert 0 < rho <= 1.5
     assert len(rows) == len(res) > 0
+
+
+# ---------------------------------------------------------------- device path
+
+from krepp_tpu.core import winnow_device
+from krepp_tpu.core.hll import HyperLogLog
+
+
+@pytest.mark.parametrize("n", [40, 123, 1000, 5000])
+@pytest.mark.parametrize("with_n", [False, True])
+def test_device_winnow_matches_host(n, with_n):
+    rng = np.random.default_rng(n * 7 + with_n)
+    params = make_params()
+    seq = rand_seq(rng, n, with_n)
+    codes = codec.seq_to_codes(seq)
+    host = minimizer.extract_sequence_mers(codes, params)
+    dev = winnow_device.extract_sequence_mers_device(codes, params)
+    if n < params.w:
+        assert host is None and dev is None
+        return
+    h_rows, h_res, h_c1, h_c2 = host
+    d_rows, d_res, d_c1, d_c2 = dev
+    # device output is deduplicated and sorted
+    key_h = np.unique(h_rows.astype(np.uint64) << np.uint64(32) | h_res)
+    key_d = d_rows.astype(np.uint64) << np.uint64(32) | d_res
+    assert np.array_equal(key_d, key_h)
+    hll1 = HyperLogLog(12); hll1.add_many(h_c1)
+    hll2 = HyperLogLog(12); hll2.add_many(h_c2)
+    assert np.array_equal(hll1.M, d_c1)
+    assert np.array_equal(hll2.M, d_c2)
+
+
+def test_device_winnow_genome_rho():
+    rng = np.random.default_rng(4)
+    params = make_params()
+    contigs = [codec.seq_to_codes(rand_seq(rng, 3000)) for _ in range(3)]
+    r0 = minimizer.extract_genome_mers(contigs, params)
+    r1 = winnow_device.extract_genome_mers_device(contigs, params)
+    from krepp_tpu.index.build import _dedupe_genome
+    k0 = _dedupe_genome(r0[0], r0[1])
+    k1 = _dedupe_genome(r1[0], r1[1])
+    assert np.array_equal(k0[0], k1[0]) and np.array_equal(k0[1], k1[1])
+    assert abs(r0[2] - r1[2]) < 1e-12
