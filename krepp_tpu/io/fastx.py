@@ -68,26 +68,45 @@ def read_fastx(path: str) -> Iterator[Tuple[str, str]]:
 
 
 def read_genome_codes(path: str) -> Iterator[np.ndarray]:
-    """Yield per-contig base-code arrays for a genome file."""
+    """Yield per-contig base-code arrays (native C reader when available)."""
+    from . import native
+
+    if native.native_available():
+        for _name, codes in native.read_fastx_native(path):
+            yield codes
+        return
     for _name, seq in read_fastx(path):
         yield seq_to_codes(seq)
 
 
 class QueryBatcher:
-    """Batches query reads by cumulative bp (ref: src/rqseq.cpp:180-197)."""
+    """Batches query reads by cumulative bp (ref: src/rqseq.cpp:180-197).
+
+    Yields (names, per-read base-code arrays); uses the native C reader
+    when available.
+    """
 
     def __init__(self, path: str, bp_limit: int = BATCH_BP_LIMIT):
         self.path = path
         self.bp_limit = bp_limit
 
-    def __iter__(self) -> Iterator[Tuple[List[str], List[str]]]:
-        names: List[str] = []
-        seqs: List[str] = []
-        bpc = 0
+    def _records(self) -> Iterator[Tuple[str, np.ndarray]]:
+        from . import native
+
+        if native.native_available():
+            yield from native.read_fastx_native(self.path)
+            return
         for name, seq in read_fastx(self.path):
+            yield name, seq_to_codes(seq)
+
+    def __iter__(self) -> Iterator[Tuple[List[str], List[np.ndarray]]]:
+        names: List[str] = []
+        seqs: List[np.ndarray] = []
+        bpc = 0
+        for name, codes in self._records():
             names.append(name)
-            seqs.append(seq)
-            bpc += len(seq)
+            seqs.append(codes)
+            bpc += len(codes)
             if bpc >= self.bp_limit:
                 yield names, seqs
                 names, seqs, bpc = [], [], 0

@@ -59,7 +59,7 @@ def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
     for names, seqs in QueryBatcher(query_path):
         total += len(names)
         codes, lengths = pad_codes_batch(
-            [seq_to_codes(s) for s in seqs], pad_to=_bucket_len(max(len(s) for s in seqs)))
+            seqs, pad_to=_bucket_len(max(len(s) for s in seqs)))
         dev = engine.run_leaf_stage_async(codes, lengths)
         pending.append((names, lengths, dev))
         if len(pending) >= 3:

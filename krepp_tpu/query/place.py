@@ -155,7 +155,7 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
     for names, seqs in QueryBatcher(query_path):
         total += len(names)
         codes, lengths = pad_codes_batch(
-            [seq_to_codes(s) for s in seqs], pad_to=_bucket_len(max(len(s) for s in seqs)))
+            seqs, pad_to=_bucket_len(max(len(s) for s in seqs)))
         dev = engine.run_leaf_stage_async(codes, lengths, leaf_ok=leaf_ok)
         aggdev = agg.aggregate_async(dev, lengths)
         pending.append((names, lengths, dev, aggdev))

@@ -25,8 +25,7 @@ def run_seek(sketch: DeviceSketch, query_path: str, out: TextIO,
     for names, seqs in QueryBatcher(query_path):
         total += len(names)
         codes, lengths = pad_codes_batch(
-            [seq_to_codes(s) for s in seqs],
-            pad_to=_bucket_len(max(len(s) for s in seqs)))
+            seqs, pad_to=_bucket_len(max(len(s) for s in seqs)))
         has, d = engine.run(codes, lengths)
         for i, name in enumerate(names):
             if has[i]:
