@@ -177,9 +177,13 @@ def extract_sequence_mers_device(codes: np.ndarray, params: IndexParams):
         jnp.asarray(padded), jnp.int32(n), params.lsh, params.w, params.r,
         params.frac)
     nu = int(nuniq)
+    # slice to a bucketed length: a distinct slice shape per contig would
+    # trigger a fresh XLA compile (~seconds) every time
+    step = 1 << 16
+    nu_pad = min(((nu + step - 1) // step) * step, crow.shape[0])
     rows, res, c1, c2 = jax.device_get(
-        (crow[:nu], cres[:nu], c1reg, c2reg))
-    return rows, res, c1.astype(np.uint8), c2.astype(np.uint8)
+        (crow[:nu_pad], cres[:nu_pad], c1reg, c2reg))
+    return rows[:nu], res[:nu], c1.astype(np.uint8), c2.astype(np.uint8)
 
 
 def extract_genome_mers_device(contigs, params: IndexParams):

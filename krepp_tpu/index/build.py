@@ -148,9 +148,28 @@ def _merge_and_color(rows: np.ndarray, res: np.ndarray, leaf: np.ndarray,
     # fast path: k-mers private to one genome keep that leaf's id
     single = sizes == 1
     se_v[single] = leaf[starts[single]]
-    for g in np.flatnonzero(~single):
-        ls = tuple(leaf[starts[g]: ends[g]].tolist())
-        se_v[g] = builder.color_of(ls)
+    multi = np.flatnonzero(~single)
+    if len(multi):
+        # vectorized subset identification: per-group leaf-set bitmask over
+        # (nnodes+1) bits, reduced with bitwise_or.reduceat, then a Python
+        # loop over *unique* subsets only
+        W = (ftree.nnodes + 1 + 63) // 64
+        bits = np.zeros((len(leaf), W), np.uint64)
+        bits[np.arange(len(leaf)), leaf // 64] = np.uint64(1) << (
+            leaf.astype(np.uint64) % np.uint64(64))
+        gmask = np.bitwise_or.reduceat(bits, starts, axis=0)[multi]
+        umask, inv = np.unique(gmask, axis=0, return_inverse=True)
+        ucolor = np.empty(len(umask), np.int32)
+        for i, mask in enumerate(umask):
+            ls = []
+            for wd in range(W):
+                mw = int(mask[wd])
+                while mw:
+                    b = mw & -mw
+                    ls.append(wd * 64 + b.bit_length() - 1)
+                    mw ^= b
+            ucolor[i] = builder.color_of(tuple(ls))
+        se_v[multi] = ucolor[inv]
 
     g_rows = (uniq >> np.uint64(32)).astype(np.int64)
     enc_v = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)

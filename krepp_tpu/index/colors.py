@@ -50,13 +50,19 @@ class ColorTable:
         """uint32 bitmask [nse, ceil(nslots/32)] of leaf slots per color."""
         W = (nslots + 31) // 32
         masks = np.zeros((self.nse, W), np.uint32)
-        for se in range(1, self.nse):
-            for leaf in self.leaves_of(se):
-                slot = leaf_slot.get(int(leaf))
-                if slot is None:
-                    continue
-                masks[se, slot // 32] |= np.uint32(1 << (slot % 32))
-        return masks
+        # vectorized: one scatter-OR over the whole CSR
+        nse_of = np.repeat(np.arange(self.nse, dtype=np.int64),
+                           np.diff(self.leaf_off))
+        slot_map = np.full(int(max(leaf_slot, default=0)) + 2, -1, np.int64)
+        for leaf, slot in leaf_slot.items():
+            slot_map[leaf] = slot
+        slots = slot_map[self.leaf_list]
+        ok = slots >= 0
+        flat = masks.reshape(-1)
+        np.bitwise_or.at(
+            flat, nse_of[ok] * W + slots[ok] // 32,
+            (np.uint32(1) << (slots[ok] % 32).astype(np.uint32)))
+        return flat.reshape(self.nse, W)
 
 
 class ColorBuilder:
