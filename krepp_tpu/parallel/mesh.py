@@ -21,6 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core import codec
 from ..index.index import DeviceIndex
 from ..query.engine import HD_SENTINEL, QueryEngine
+from ..query.bucket_scan import probe_strand, probe_strand_full
 
 
 def make_query_mesh(n_data: int, n_shard: int, devices=None) -> Mesh:
@@ -69,18 +70,17 @@ class ShardedQueryEngine(QueryEngine):
         self._se_shards = se_sh
         self._rowstart_shards = row_sh.astype(np.int32)
         sh = NamedSharding(self.mesh, P("shard", None))
-        self._enc_dev = jax.device_put(enc_sh, sh)
-        self._se_dev = jax.device_put(se_sh, sh)
+        sh3 = NamedSharding(self.mesh, P("shard", None, None))
+        enc_se = np.stack([enc_sh, se_sh.astype(np.uint32)], axis=2)
+        self._enc_se_dev = jax.device_put(enc_se, sh3)
         self._rowstart_dev = jax.device_put(self._rowstart_shards, sh)
 
-    def _shard_probe_one(self, rix, res, valid, enc_s, se_s, rowstart_s,
-                         shard_id):
+    def _shard_probe_one(self, rix, res, valid, enc_se_s, rowstart_s,
+                         shard_id, exact):
         """Bucket scan against this shard's rows only."""
-        th = self.th
         m = self.lsh.m
         R = self.di.R
         rps = self.rows_per_shard
-        nk = enc_s.shape[0]
         rmod = (rix % jnp.uint32(m)).astype(jnp.int32)
         resident = self._resident[rmod] & valid
         urow = (rix // jnp.uint32(m)).astype(jnp.int32) * R + \
@@ -89,35 +89,23 @@ class ShardedQueryEngine(QueryEngine):
         lrow = jnp.where(mine, urow - shard_id * rps, 0)
         start = rowstart_s[lrow]
         cnt = jnp.where(mine, rowstart_s[lrow + 1] - start, 0)
+        if exact:
+            h, mn = probe_strand_full(enc_se_s, self._mask, self._expand,
+                                      start, cnt, res, self.th, self.W,
+                                      self.S, self.di.max_bucket)
+            return h, mn, jnp.bool_(False)
+        return probe_strand(enc_se_s, self._mask, self._expand, start, cnt,
+                            res, self.th, self.W, self.S, self.di.max_bucket)
 
-        def body(j, carry):
-            Mm, gmin = carry
-            idx = jnp.minimum(start + j, nk - 1)
-            inb = j < cnt
-            e = enc_s[idx]
-            s = jnp.where(inb, se_s[idx], 0)
-            hd = codec.hdist_lr32(e, res)
-            match = inb & (hd <= th)
-            gmin = jnp.where(match, jnp.minimum(gmin, hd), gmin)
-            msk = self._mask[s]
-            for x in range(th + 1):
-                hit = (match & (hd == x))[..., None]
-                Mm = Mm.at[x].set(jnp.where(hit, Mm[x] | msk, Mm[x]))
-            return Mm, gmin
+    def _probe_dispatch(self, codes, lengths, exact: bool = False):
+        return self._sharded_probe(codes, lengths, exact)
 
-        Mm0 = jnp.zeros((th + 1,) + valid.shape + (self.W,), jnp.uint32)
-        gmin0 = jnp.full(valid.shape, HD_SENTINEL, jnp.int32)
-        return jax.lax.fori_loop(0, self.di.max_bucket, body, (Mm0, gmin0))
-
-    def _probe_dispatch(self, codes, lengths):
-        return self._sharded_probe(codes, lengths)
-
-    def _sharded_probe(self, codes, lengths):
+    def _sharded_probe(self, codes, lengths, exact: bool = False):
         lsh = self.lsh
         k = lsh.k
         mesh = self.mesh
 
-        def step(codes_l, lengths_l, enc_s, se_s, rowstart_s):
+        def step(codes_l, lengths_l, enc_se_s, rowstart_s):
             shard_id = jax.lax.axis_index("shard")
             B, L = codes_l.shape
             Pn = L - k + 1
@@ -126,26 +114,30 @@ class ShardedQueryEngine(QueryEngine):
                 (t_idx[None, :] <= lengths_l[:, None] - k)
             onmers = jnp.sum(valid, axis=1, dtype=jnp.int32)
             outs = []
+            ov = jnp.bool_(False)
             for rix, res in (
                     (codec.lsh_hash_or(codes_l, lsh), codec.residual_or(codes_l, lsh)),
                     (codec.lsh_hash_rc(codes_l, lsh), codec.residual_rc(codes_l, lsh))):
-                Mm, gmin = self._shard_probe_one(
-                    rix, res, valid, enc_s[0], se_s[0], rowstart_s[0], shard_id)
-                hist = self._hist_from_masks(Mm)
+                hist, minall, o = self._shard_probe_one(
+                    rix, res, valid, enc_se_s[0], rowstart_s[0], shard_id,
+                    exact)
                 # exact cross-shard merge: buckets are row-disjoint
                 hist = jax.lax.psum(hist, "shard")
-                minall = jax.lax.pmin(jnp.min(gmin, axis=1), "shard")
+                minall = jax.lax.pmin(minall, "shard")
+                ov = ov | (jax.lax.pmax(o.astype(jnp.int32), "shard") > 0)
                 outs.append((hist, minall))
             (hist_or, minall_or), (hist_rc, minall_rc) = outs
-            return hist_or, hist_rc, minall_or, minall_rc, onmers
+            ov_b = jnp.broadcast_to(ov, onmers.shape)
+            return hist_or, hist_rc, minall_or, minall_rc, onmers, ov_b
 
         fn = jax.shard_map(
             step, mesh=mesh,
-            in_specs=(P("data", None), P("data"), P("shard", None),
-                      P("shard", None), P("shard", None)),
-            out_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
+            in_specs=(P("data", None), P("data"), P("shard", None, None),
+                      P("shard", None)),
+            out_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
+                       P("data")),
             check_vma=False)
-        return fn(codes, lengths, self._enc_dev, self._se_dev, self._rowstart_dev)
+        return fn(codes, lengths, self._enc_se_dev, self._rowstart_dev)
 
     def run_leaf_stage(self, codes: np.ndarray, lengths: np.ndarray,
                        leaf_ok: Optional[np.ndarray] = None):

@@ -52,8 +52,8 @@ def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
     pending = deque()
 
     def flush_one():
-        names_b, lengths_b, dev = pending.popleft()
-        lr = engine.fetch_leaf_stage(dev, lengths_b)
+        names_b, lengths_b, codes_b, dev = pending.popleft()
+        lr = engine.fetch_leaf_stage(dev, lengths_b, codes=codes_b)
         _report_batch(lr, names_b, leaf_names, cfg, out, wcount)
 
     for names, seqs in QueryBatcher(query_path):
@@ -61,7 +61,7 @@ def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
         codes, lengths = pad_codes_batch(
             seqs, pad_to=_bucket_len(max(len(s) for s in seqs)))
         dev = engine.run_leaf_stage_async(codes, lengths)
-        pending.append((names, lengths, dev))
+        pending.append((names, lengths, codes, dev))
         if len(pending) >= 3:
             flush_one()
     while pending:

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import codec
+from .bucket_scan import (make_expander, probe_strand,
+                          probe_strand_full, scan_buckets_min)
 from ..core.llh import make_llh, brent_find_minima, F
 from ..index.index import DeviceIndex, DeviceSketch, PlacementView
 
@@ -49,27 +51,25 @@ class QueryEngine:
         self.W = dindex.se_mask.shape[1]
         self._enc = jnp.asarray(dindex.enc_v)
         self._sev = jnp.asarray(dindex.se_v)
+        self._enc_se = jnp.asarray(np.stack(
+            [dindex.enc_v, dindex.se_v.astype(np.uint32)], axis=1))
         self._row_start = jnp.asarray(dindex.row_start.astype(np.int32))
         self._mask = jnp.asarray(dindex.se_mask)
         self._resident = jnp.asarray(dindex.resident)
         self._rank = jnp.asarray(dindex.res_rank.astype(np.int32))
         self._rho_slot = jnp.asarray(dindex.rho_slot)
+        self._expand = make_expander(self.S, self.W)
         self._llh = make_llh(self.lsh.k, self.lsh.h, self.th)
         self._probe_jit = jax.jit(self._probe_impl)
         self._stage2_jit = jax.jit(self._stage2_impl)
         self._full_jit = jax.jit(self._full_impl)
+        self._full_exact_jit = None  # compiled lazily on heavy-tail overflow
 
     # ------------------------------------------------------------- stage 1
-    def _strand_probe(self, rix, res, valid, acc_shape):
-        """Bucket scan for one strand; returns (Mm, gmin).
-
-        Mm: [th+1, B, P, W] uint32 OR-ed leaf masks per Hamming distance.
-        gmin: [B, P] int32 min matched distance (HD_SENTINEL if none).
-        """
-        th = self.th
+    def _bucket_slices(self, rix, valid):
+        """LSH row -> (start, cnt) bucket slice per probe."""
         m = self.lsh.m
         R = self.di.R
-        nk = max(self.di.nkmers, 1)
         rmod = (rix % jnp.uint32(m)).astype(jnp.int32)
         resident = self._resident[rmod] & valid
         rank = self._rank[rmod]
@@ -77,65 +77,20 @@ class QueryEngine:
         urow = jnp.where(resident, urow, 0)
         start = self._row_start[urow]
         cnt = jnp.where(resident, self._row_start[urow + 1] - start, 0)
+        return start, cnt
 
-        def body(j, carry):
-            Mm, gmin = carry
-            idx = jnp.minimum(start + j, nk - 1)
-            inb = j < cnt
-            e = self._enc[idx]
-            s = jnp.where(inb, self._sev[idx], 0)
-            hd = codec.hdist_lr32(e, res)
-            match = inb & (hd <= th)
-            gmin = jnp.where(match, jnp.minimum(gmin, hd), gmin)
-            msk = self._mask[s]  # [B, P, W]
-            for x in range(th + 1):
-                hit = (match & (hd == x))[..., None]
-                Mm = Mm.at[x].set(jnp.where(hit, Mm[x] | msk, Mm[x]))
-            return Mm, gmin
+    def _strand_probe(self, rix, res, valid, exact: bool = False):
+        start, cnt = self._bucket_slices(rix, valid)
+        if exact:
+            hist, minall = probe_strand_full(
+                self._enc_se, self._mask, self._expand, start, cnt, res,
+                self.th, self.W, self.S, self.di.max_bucket)
+            return hist, minall, jnp.bool_(False)
+        return probe_strand(self._enc_se, self._mask, self._expand, start,
+                            cnt, res, self.th, self.W, self.S,
+                            self.di.max_bucket)
 
-        Mm0 = jnp.zeros((th + 1,) + acc_shape + (self.W,), jnp.uint32)
-        gmin0 = jnp.full(acc_shape, HD_SENTINEL, jnp.int32)
-        # loop only to the largest bucket actually hit by this batch (the
-        # static max_bucket bound would be dominated by the most skewed
-        # bucket of the whole index)
-        maxcnt = jnp.minimum(jnp.max(cnt), self.di.max_bucket)
-
-        def cond(carry):
-            j, _, _ = carry
-            return j < maxcnt
-
-        def wbody(carry):
-            j, Mm, gmin = carry
-            Mm, gmin = body(j, (Mm, gmin))
-            return j + 1, Mm, gmin
-
-        _, Mm, gmin = jax.lax.while_loop(cond, wbody, (jnp.int32(0), Mm0, gmin0))
-        return Mm, gmin
-
-    def _hist_from_masks(self, Mm):
-        """[th+1, B, P, W] masks -> per-leaf first-match histogram [B, S, th+1].
-
-        minimum distance per (position, leaf) = first x whose mask bit is
-        set; histogram = count over positions.
-        """
-        th = self.th
-        S = self.S
-        word = np.arange(S) // 32
-        shift = jnp.asarray((np.arange(S) % 32).astype(np.uint32))
-        hists = []
-        seen = None
-        for x in range(th + 1):
-            bits = (Mm[x][..., word] >> shift) & jnp.uint32(1)  # [B, P, S]
-            if seen is None:
-                new = bits
-                seen = bits
-            else:
-                new = bits & (seen ^ jnp.uint32(1))
-                seen = seen | bits
-            hists.append(jnp.sum(new, axis=1, dtype=jnp.int32))  # [B, S]
-        return jnp.stack(hists, axis=-1)  # [B, S, th+1]
-
-    def _probe_impl(self, codes, lengths):
+    def _probe_impl(self, codes, lengths, exact: bool = False):
         lsh = self.lsh
         k = lsh.k
         B, L = codes.shape
@@ -149,13 +104,9 @@ class QueryEngine:
         rix_rc = codec.lsh_hash_rc(codes, lsh)
         res_rc = codec.residual_rc(codes, lsh)
 
-        Mm_or, gmin_or = self._strand_probe(rix_or, res_or, valid, (B, P))
-        Mm_rc, gmin_rc = self._strand_probe(rix_rc, res_rc, valid, (B, P))
-        hist_or = self._hist_from_masks(Mm_or)
-        hist_rc = self._hist_from_masks(Mm_rc)
-        minall_or = jnp.min(gmin_or, axis=1)
-        minall_rc = jnp.min(gmin_rc, axis=1)
-        return hist_or, hist_rc, minall_or, minall_rc, onmers
+        hist_or, minall_or, ov1 = self._strand_probe(rix_or, res_or, valid, exact)
+        hist_rc, minall_rc, ov2 = self._strand_probe(rix_rc, res_rc, valid, exact)
+        return hist_or, hist_rc, minall_or, minall_rc, onmers, ov1 | ov2
 
     # ------------------------------------------------------------- stage 2
     def _optimize(self, hist, uc, rho):
@@ -266,15 +217,16 @@ class QueryEngine:
         return (present, hist_f, d_f, v_f, mc_f, uc_f, rho,
                 best_slot, best_d, hist_c, uc_c, rho_c, v_c, ratio)
 
-    def _probe_dispatch(self, codes, lengths):
+    def _probe_dispatch(self, codes, lengths, exact: bool = False):
         """Overridden by ShardedQueryEngine (resolved at trace time)."""
-        return self._probe_impl(codes, lengths)
+        return self._probe_impl(codes, lengths, exact)
 
-    def _full_impl(self, codes, lengths, leaf_ok):
+    def _full_impl(self, codes, lengths, leaf_ok, exact: bool = False):
         """Fused probe + stage 2 (single dispatch)."""
-        probe_out = self._probe_dispatch(codes, lengths)
-        out = self._stage2_impl(*probe_out, leaf_ok)
-        return tuple(out) + (probe_out[-1],)  # append onmers
+        probe_out = self._probe_dispatch(codes, lengths, exact)
+        out = self._stage2_impl(*probe_out[:5], leaf_ok)
+        # append onmers + heavy-tail overflow flag
+        return tuple(out) + (probe_out[4], probe_out[5])
 
     # -------------------------------------------------------------- public
     def run_leaf_stage_async(self, codes: np.ndarray, lengths: np.ndarray,
@@ -286,12 +238,35 @@ class QueryEngine:
         return self._full_jit(jnp.asarray(codes), jnp.asarray(lengths),
                               jnp.asarray(leaf_ok))
 
-    def fetch_leaf_stage(self, dev_out, lengths: np.ndarray) -> "LeafResults":
+    def fetch_leaf_stage(self, dev_out, lengths: np.ndarray,
+                         codes: Optional[np.ndarray] = None,
+                         leaf_ok: Optional[np.ndarray] = None) -> "LeafResults":
         """One batched device_get of a run_leaf_stage_async result."""
-        return self.fetch_prefetched(jax.device_get(tuple(dev_out)), lengths)
+        return self.fetch_prefetched(jax.device_get(tuple(dev_out)), lengths,
+                                     codes=codes, leaf_ok=leaf_ok)
 
-    def fetch_prefetched(self, fetched, lengths: np.ndarray) -> "LeafResults":
+    def run_exact(self, codes, lengths, leaf_ok):
+        """Exact full-depth scan (heavy-tail overflow fallback)."""
+        if self._full_exact_jit is None:
+            self._full_exact_jit = jax.jit(
+                functools.partial(self._full_impl, exact=True))
+        if leaf_ok is None:
+            leaf_ok = np.ones(self.S, bool)
+        return self._full_exact_jit(jnp.asarray(codes), jnp.asarray(lengths),
+                                    jnp.asarray(leaf_ok))
+
+    def fetch_prefetched(self, fetched, lengths: np.ndarray,
+                         codes: Optional[np.ndarray] = None,
+                         leaf_ok: Optional[np.ndarray] = None) -> "LeafResults":
         """Build LeafResults from an already-device_get'ed output tuple."""
+        overflow = bool(np.any(np.asarray(fetched[-1])))
+        if overflow:
+            # heavy-tail overflow (astronomically skewed batch): recompute
+            # this batch with the exact full-depth scan
+            assert codes is not None, "overflow fallback needs the batch codes"
+            fetched = jax.device_get(tuple(self.run_exact(codes, lengths,
+                                                          leaf_ok)))
+        fetched = fetched[:-1]
         (present, hist_f, d_f, v_f, mc_f, uc_f, rho, best_slot, best_d,
          hist_c, uc_c, rho_c, v_c, ratio) = fetched[:-1]
         onmers = fetched[-1]
@@ -310,7 +285,8 @@ class QueryEngine:
         decode skips them, ref: src/query.cpp:374-375).
         """
         return self.fetch_leaf_stage(
-            self.run_leaf_stage_async(codes, lengths, leaf_ok), lengths)
+            self.run_leaf_stage_async(codes, lengths, leaf_ok), lengths,
+            codes=codes, leaf_ok=leaf_ok)
 
 
 @dataclass
@@ -350,29 +326,17 @@ class SeekEngine:
         self._run_jit = jax.jit(self._run_impl)
 
     def _strand_min(self, rix, res, valid):
-        th = self.th
         m = self.lsh.m
         R = self.sk.R
-        nk = max(len(self.sk.enc_v), 1)
         rmod = (rix % jnp.uint32(m)).astype(jnp.int32)
         resident = self._resident[rmod] & valid
-        urow = (rix // jnp.uint32(m)).astype(jnp.int32) * R + jnp.maximum(self._rank[rmod], 0)
+        urow = (rix // jnp.uint32(m)).astype(jnp.int32) * R + \
+            jnp.maximum(self._rank[rmod], 0)
         urow = jnp.where(resident, urow, 0)
         start = self._row_start[urow]
         cnt = jnp.where(resident, self._row_start[urow + 1] - start, 0)
-
-        def body(j, gmin):
-            idx = jnp.minimum(start + j, nk - 1)
-            inb = j < cnt
-            e = self._enc[idx]
-            hd = codec.hdist_lr32(e, res)
-            return jnp.where(inb, jnp.minimum(gmin, hd), gmin)
-
-        gmin0 = jnp.full(valid.shape, HD_SENTINEL, jnp.int32)
-        gmin = jax.lax.fori_loop(0, self.sk.max_bucket, body, gmin0)
-        # SSummary records the bucket-min only when <= th
-        # (ref: src/seek.cpp:103-119)
-        return jnp.where(gmin <= th, gmin, HD_SENTINEL)
+        return scan_buckets_min(self._enc, start, cnt, res, self.th,
+                                self.sk.max_bucket)
 
     def _run_impl(self, codes, lengths):
         lsh = self.lsh

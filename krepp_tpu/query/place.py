@@ -110,7 +110,7 @@ class PlaceAggregator:
     def _agg_fused(self, dev_out, lengths):
         """Stage 3 straight off the fused leaf-stage device tuple."""
         (present, hist_f, d_f, v_f, mc_f, uc_f, rho, best_slot, best_d,
-         hist_c, uc_c, rho_c, v_c, ratio, onmers) = dev_out
+         hist_c, uc_c, rho_c, v_c, ratio, onmers) = dev_out[:15]
         return self._agg_impl(present, hist_f, mc_f, d_f, v_f, uc_f,
                               onmers, lengths, hist_c, uc_c, rho_c, v_c)
 
@@ -144,10 +144,17 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
 
     def flush_one():
         nonlocal has_previous
-        names_b, lengths_b, dev, aggdev = pending.popleft()
+        names_b, lengths_b, codes_b, dev, aggdev = pending.popleft()
         fetched = jax.device_get(tuple(dev) + tuple(aggdev))
-        lr = engine.fetch_prefetched(fetched[: len(dev)], lengths_b)
-        hist_q, uc_q, rho_q, d_q, v_q, support, leq_tau, chisq_q =             fetched[len(dev):]
+        lr = engine.fetch_prefetched(fetched[: len(dev)], lengths_b,
+                                     codes=codes_b, leaf_ok=leaf_ok)
+        if bool(np.any(fetched[len(dev) - 1])):
+            # heavy-tail overflow: redo aggregation on the exact result too
+            dev2 = engine.run_exact(codes_b, lengths_b, leaf_ok)
+            aggdev = agg.aggregate_async(dev2, lengths_b)
+        hist_q, uc_q, rho_q, d_q, v_q, support, leq_tau, chisq_q = \
+            jax.device_get(tuple(aggdev)) if bool(np.any(fetched[len(dev) - 1])) \
+            else fetched[len(dev):]
         has_previous = _report_batch(
             lr, names_b, pv, cfg, out, wcount, has_previous,
             hist_q, d_q, v_q, support, leq_tau, chisq_q)
@@ -158,7 +165,7 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
             seqs, pad_to=_bucket_len(max(len(s) for s in seqs)))
         dev = engine.run_leaf_stage_async(codes, lengths, leaf_ok=leaf_ok)
         aggdev = agg.aggregate_async(dev, lengths)
-        pending.append((names, lengths, dev, aggdev))
+        pending.append((names, lengths, codes, dev, aggdev))
         if len(pending) >= 3:
             flush_one()
     while pending:
