@@ -19,6 +19,7 @@ import numpy as np
 from ..params import IndexParams
 from ..core import minimizer
 from ..core import winnow_device
+from ..core import masked_extract
 from ..io.fastx import read_genome_codes
 from ..tree.newick import Tree
 from ..tree.flat import FlatTree
@@ -109,8 +110,12 @@ def build_index_from_sources(names: List[str], contig_source,
             if progress:
                 print(f"Genome skipped: {name}", file=sys.stderr)
             continue
-        rows, res, g_rho = winnow_device.extract_genome_mers_device(
-            contig_source[name](), params)
+        if params.sdust_t > 0 and params.sdust_w > 0:
+            rows, res, g_rho = masked_extract.extract_genome_mers_masked(
+                contig_source[name](), params)
+        else:
+            rows, res, g_rho = winnow_device.extract_genome_mers_device(
+                contig_source[name](), params)
         rows, res = _dedupe_genome(rows, res)
         rho[se] = g_rho
         all_rows.append(rows)
@@ -182,8 +187,12 @@ def _merge_and_color(rows: np.ndarray, res: np.ndarray, leaf: np.ndarray,
 
 def build_sketch(path: str, params: IndexParams, progress: bool = True) -> BuiltSketch:
     """Single-genome sketch (ref: src/krepp.cpp:110-119)."""
-    rows, res, rho = winnow_device.extract_genome_mers_device(
-        read_genome_codes(path), params)
+    if params.sdust_t > 0 and params.sdust_w > 0:
+        rows, res, rho = masked_extract.extract_genome_mers_masked(
+            read_genome_codes(path), params)
+    else:
+        rows, res, rho = winnow_device.extract_genome_mers_device(
+            read_genome_codes(path), params)
     rows, res = _dedupe_genome(rows, res)
     key = rows.astype(np.uint64) << np.uint64(32) | res.astype(np.uint64)
     key = np.unique(key)

@@ -33,6 +33,9 @@ class DistConfig:
     multi: bool = True
     no_filter: bool = True
     summarize: bool = False
+    # device batch granularity (output-neutral; the reference's 76.8 kbp
+    # batches are too small to feed a TPU, ref: src/rqseq.hpp:10-11)
+    batch_bp: int = 4096 * 150
 
 
 def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
@@ -56,7 +59,7 @@ def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
         lr = engine.fetch_leaf_stage(dev, lengths_b, codes=codes_b)
         _report_batch(lr, names_b, leaf_names, cfg, out, wcount)
 
-    for names, seqs in QueryBatcher(query_path):
+    for names, seqs in QueryBatcher(query_path, bp_limit=cfg.batch_bp):
         total += len(names)
         codes, lengths = pad_codes_batch(
             seqs, pad_to=_bucket_len(max(len(s) for s in seqs)))

@@ -35,6 +35,7 @@ class PlaceConfig:
     no_filter: bool = False
     summarize: bool = False
     tabular: bool = False
+    batch_bp: int = 4096 * 150
 
 
 class PlaceAggregator:
@@ -159,7 +160,7 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
             lr, names_b, pv, cfg, out, wcount, has_previous,
             hist_q, d_q, v_q, support, leq_tau, chisq_q)
 
-    for names, seqs in QueryBatcher(query_path):
+    for names, seqs in QueryBatcher(query_path, bp_limit=cfg.batch_bp):
         total += len(names)
         codes, lengths = pad_codes_batch(
             seqs, pad_to=_bucket_len(max(len(s) for s in seqs)))
