@@ -222,7 +222,8 @@ def cmd_index(args):
         tree = Tree.parse(open(args.nwk_file).read())
         tree.nwk_str = open(args.nwk_file).read()
     print("Building the index...", file=sys.stderr)
-    built = build_index(input_map, params, tree)
+    built = build_index(input_map, params, tree,
+                        num_threads=max(1, args.num_threads))
     print(f"\nTotal number of k-mers indexed: {built.nkmers}", file=sys.stderr)
     artifact.save_native(built, args.index_dir, seed=args.seed)
     if args.export_reference_format:

@@ -71,7 +71,8 @@ def _dedupe_genome(rows: np.ndarray, res: np.ndarray) -> Tuple[np.ndarray, np.nd
 
 
 def build_index(input_map: Sequence[Tuple[str, str]], params: IndexParams,
-                tree: Optional[Tree] = None, progress: bool = True) -> BuiltIndex:
+                tree: Optional[Tree] = None, progress: bool = True,
+                num_threads: int = 1) -> BuiltIndex:
     """Build a single-partial index from {name -> genome path}.
 
     input_map order defines the reference list; the guide tree (or a
@@ -81,13 +82,19 @@ def build_index(input_map: Sequence[Tuple[str, str]], params: IndexParams,
     path_of = dict(input_map)
     contig_source = {n: (lambda p=path_of[n]: read_genome_codes(p))
                      for n in names if n in path_of}
-    return build_index_from_sources(names, contig_source, params, tree, progress)
+    return build_index_from_sources(names, contig_source, params, tree,
+                                    progress, num_threads=num_threads)
 
 
 def build_index_from_sources(names: List[str], contig_source,
                              params: IndexParams, tree: Optional[Tree] = None,
-                             progress: bool = True) -> BuiltIndex:
-    """Core build: contig_source[name]() yields per-contig code arrays."""
+                             progress: bool = True,
+                             num_threads: int = 1) -> BuiltIndex:
+    """Core build: contig_source[name]() yields per-contig code arrays.
+
+    num_threads > 1 prefetches genome files with a host thread pool while
+    the device winnows (the device work itself serializes on one chip).
+    """
     if tree is None:
         print("No tree has given as a guide, the color index could be suboptimal.",
               file=sys.stderr)
@@ -101,6 +108,13 @@ def build_index_from_sources(names: List[str], contig_source,
     all_leaf: List[np.ndarray] = []
     rho = np.zeros(ftree.nnodes + 1)
     count = 0
+    fetched = {}
+    if num_threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(num_threads)
+        fetched = {n: pool.submit(lambda n=n: list(contig_source[n]()))
+                   for n in names if n in contig_source}
     for name in names:
         count += 1
         se = leaf_se.get(name)
@@ -110,12 +124,14 @@ def build_index_from_sources(names: List[str], contig_source,
             if progress:
                 print(f"Genome skipped: {name}", file=sys.stderr)
             continue
+        contigs = (fetched[name].result() if name in fetched
+                   else contig_source[name]())
         if params.sdust_t > 0 and params.sdust_w > 0:
             rows, res, g_rho = masked_extract.extract_genome_mers_masked(
-                contig_source[name](), params)
+                contigs, params)
         else:
             rows, res, g_rho = winnow_device.extract_genome_mers_device(
-                contig_source[name](), params)
+                contigs, params)
         rows, res = _dedupe_genome(rows, res)
         rho[se] = g_rho
         all_rows.append(rows)

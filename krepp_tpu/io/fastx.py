@@ -11,12 +11,50 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
+import re
+import sys
+import tempfile
 from typing import Iterator, List, Tuple
 
 import numpy as np
 
 from ..params import BATCH_BP_LIMIT
 from ..core.codec import seq_to_codes
+
+
+# URL inputs (ref: src/rqseq.hpp:13-56 downloads via libcurl); here we use
+# urllib and surface a clear error in offline environments.
+_URL_RE = re.compile(r"^(?:https?|ftp)://\S+$")
+
+
+def is_url(path: str) -> bool:
+    return bool(_URL_RE.match(path))
+
+
+def resolve_input(path: str) -> str:
+    """Download URL inputs to a temp file; local paths pass through."""
+    if not is_url(path):
+        return path
+    import urllib.request
+
+    suffix = ".gz" if path.endswith(".gz") else ""
+    tmp = tempfile.NamedTemporaryFile(prefix="seq_", suffix=suffix,
+                                      delete=False)
+    try:
+        with urllib.request.urlopen(path, timeout=60) as r:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                tmp.write(chunk)
+        tmp.close()
+        return tmp.name
+    except Exception as e:  # noqa: BLE001
+        tmp.close()
+        os.unlink(tmp.name)
+        raise RuntimeError(
+            f"Failed to download {path}: {e} (offline environment?)") from e
 
 
 def _open_text(path: str):
@@ -36,6 +74,7 @@ def _rec_name(header_rest: str) -> str:
 
 def read_fastx(path: str) -> Iterator[Tuple[str, str]]:
     """Yield (name, sequence) records from FASTA or FASTQ (optionally .gz)."""
+    path = resolve_input(path)
     with _open_text(path) as f:
         line = f.readline()
         while line and not line.strip():
@@ -71,6 +110,7 @@ def read_genome_codes(path: str) -> Iterator[np.ndarray]:
     """Yield per-contig base-code arrays (native C reader when available)."""
     from . import native
 
+    path = resolve_input(path)
     if native.native_available():
         for _name, codes in native.read_fastx_native(path):
             yield codes
@@ -93,10 +133,11 @@ class QueryBatcher:
     def _records(self) -> Iterator[Tuple[str, np.ndarray]]:
         from . import native
 
+        path = resolve_input(self.path)
         if native.native_available():
-            yield from native.read_fastx_native(self.path)
+            yield from native.read_fastx_native(path)
             return
-        for name, seq in read_fastx(self.path):
+        for name, seq in read_fastx(path):
             yield name, seq_to_codes(seq)
 
     def __iter__(self) -> Iterator[Tuple[List[str], List[np.ndarray]]]:
