@@ -165,3 +165,80 @@ def test_run_dist_output_golden(world, tmp_path):
             for se, d in want:
                 expect_rows.append(f"{rid}\t{name_of[se]}\t{fmt5(d)}")
     assert lines[2:] == expect_rows
+
+
+def test_dist_modes_match_oracle(world, tmp_path):
+    """--no-multi, --filter, --dist-max and --summarize vs the oracle."""
+    built, di, oi, reads, genomes, tree = world
+    name_of = {se: built.ftree.names[se] for se in range(built.ftree.nnodes + 1)}
+    qpath = tmp_path / "qm.fq"
+    with open(qpath, "w") as f:
+        for rid, seq in reads:
+            f.write(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n")
+
+    def run(cfg):
+        out = io.StringIO()
+        run_dist(di, str(qpath), out, "inv", cfg)
+        return out.getvalue().splitlines()[2:]
+
+    # --no-multi: single closest row per read
+    got = run(DistConfig(multi=False))
+    expect = []
+    for rid, seq in reads:
+        want = oracle_query.dist_rows(oi, seq, multi=False)
+        if want is None:
+            expect.append(f"{rid}\tNA\tNaN")
+        else:
+            se, d = want[0]
+            expect.append(f"{rid}\t{name_of[se]}\t{fmt5(d)}")
+    assert got == expect
+
+    # --filter (chisq)
+    got = run(DistConfig(no_filter=False))
+    expect = []
+    for rid, seq in reads:
+        want = oracle_query.dist_rows(oi, seq, no_filter=False)
+        if want is None:
+            expect.append(f"{rid}\tNA\tNaN")
+        else:
+            for se, d in want:
+                expect.append(f"{rid}\t{name_of[se]}\t{fmt5(d)}")
+    assert got == expect
+
+    # --dist-max
+    got = run(DistConfig(dist_max=0.05))
+    expect = []
+    for rid, seq in reads:
+        want = oracle_query.dist_rows(oi, seq, dist_max=0.05)
+        if want is None:
+            expect.append(f"{rid}\tNA\tNaN")
+        else:
+            for se, d in want:
+                expect.append(f"{rid}\t{name_of[se]}\t{fmt5(d)}")
+    assert got == expect
+
+
+def test_dist_summarize_matches_oracle(world, tmp_path):
+    built, di, oi, reads, genomes, tree = world
+    name_of = {se: built.ftree.names[se] for se in range(built.ftree.nnodes + 1)}
+    qpath = tmp_path / "qs.fq"
+    with open(qpath, "w") as f:
+        for rid, seq in reads:
+            f.write(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n")
+    out = io.StringIO()
+    run_dist(di, str(qpath), out, "inv", DistConfig(summarize=True))
+    lines = out.getvalue().splitlines()
+    assert lines[1] == "REFERENCE_NAME\tWEIGHTED_COUNT\tSEQUENCE_ABUNDANCE"
+    # oracle summarize (ref: src/query.cpp:160-171): chisq filter applies
+    wc = {}
+    for rid, seq in reads:
+        nm, cse, cl, onm = oracle_query.query_read(oi, seq, 4)
+        import math as _m
+        sel = [se for se in sorted(nm)
+               if cl.ratio_at(nm[se].d, oi.k, oi.h, 4) < 2.706]
+        for se in sel:
+            wc[se] = wc.get(se, 0.0) + 1.0 / len(sel)
+    tw = sum(wc.values())
+    expect = [f"{name_of[se]}\t{fmt5(wc[se])}\t{fmt5(wc[se] / tw)}"
+              for se in sorted(wc)]
+    assert lines[2:] == expect
