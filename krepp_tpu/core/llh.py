@@ -227,3 +227,40 @@ def make_optimizer(k: int, h: int, hdist_th: int):
         return brent_find_minima(f, uc.shape)
 
     return optimize
+
+
+def brent_on_mask(llh, hist, uc, rho, mask, cap_divisor: int = 8):
+    """Batched Brent restricted to mask-selected lanes.
+
+    At scale only a small fraction of (read, candidate) lanes carry matches;
+    optimizing all of them wastes most of the (emulated) f64 work. Lanes are
+    compacted with lax.top_k; if more than the static capacity are live, an
+    exact dense fallback runs instead (lax.cond). Unselected lanes return
+    d = 0.0, v = 0.0 — callers must gate on their own masks.
+    """
+    shape = uc.shape
+    N = int(np.prod(shape))
+    X = hist.shape[-1]
+    histf = hist.reshape(N, X)
+    ucf = uc.reshape(N)
+    rhof = rho.reshape(N)
+    maskf = mask.reshape(N)
+    Kb = min(N, max(128, N // cap_divisor))
+    nkeep = jnp.sum(maskf.astype(jnp.int32))
+
+    def compact(_):
+        _, idx = jax.lax.top_k(maskf.astype(jnp.int32), Kb)
+        h = histf[idx]
+        u = ucf[idx]
+        r = rhof[idx]
+        d, v = brent_find_minima(lambda dd: llh(dd, h, u, r), (Kb,))
+        D = jnp.zeros((N,), F).at[idx].set(d)
+        V = jnp.zeros((N,), F).at[idx].set(v)
+        return D, V
+
+    def dense(_):
+        d, v = brent_find_minima(lambda dd: llh(dd, histf, ucf, rhof), (N,))
+        return jnp.where(maskf, d, 0.0), jnp.where(maskf, v, 0.0)
+
+    D, V = jax.lax.cond(nkeep <= Kb, compact, dense, None)
+    return D.reshape(shape), V.reshape(shape)

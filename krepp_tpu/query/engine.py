@@ -33,7 +33,7 @@ import numpy as np
 from ..core import codec
 from .bucket_scan import (make_expander, probe_strand,
                           probe_strand_full, scan_buckets_min)
-from ..core.llh import make_llh, brent_find_minima, F
+from ..core.llh import make_llh, brent_find_minima, brent_on_mask, F
 from ..index.index import DeviceIndex, DeviceSketch, PlacementView
 
 HD_SENTINEL = 255          # "no match" Hamming distance marker
@@ -144,7 +144,8 @@ class QueryEngine:
         hist2 = jnp.concatenate([hist_or.astype(F), hist_rc.astype(F)], axis=0)
         uc2 = jnp.concatenate([uc_or, uc_rc], axis=0)
         rho2 = jnp.concatenate([rho, rho], axis=0)
-        d2, v2 = self._optimize(hist2, uc2, rho2)
+        keep2 = jnp.concatenate([keep_or, keep_rc], axis=0)
+        d2, v2 = brent_on_mask(self._llh, hist2, uc2, rho2, keep2)
         d_or, d_rc = d2[:B], d2[B:]
         v_or, v_rc = v2[:B], v2[B:]
         d_or = jnp.where(keep_or, d_or, D_MAX)

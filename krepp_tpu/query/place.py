@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.codec import seq_to_codes, pad_codes_batch
-from ..core.llh import make_llh, brent_find_minima, F
+from ..core.llh import make_llh, brent_find_minima, brent_on_mask, F
 from ..index.index import DeviceIndex, PlacementView
 from ..io.fastx import QueryBatcher
 from ..reports import (begin_jplace, end_jplace, fmt5, jplace_fields,
@@ -87,9 +87,10 @@ class PlaceAggregator:
         uc_q = jnp.where(isl, leaf_uc, uc_int)
         rho_q = jnp.where(isl, leaf_rho, rhoW)
 
-        # re-optimise internal candidates (ref: src/query.cpp:272-275)
-        d_opt, v_opt = brent_find_minima(
-            lambda dd: self._llh(dd, hist_q, uc_q, rho_q), uc_q.shape)
+        # re-optimise internal candidates (ref: src/query.cpp:272-275);
+        # only supported internal nodes need the (f64-emulated) solver
+        need = support & jnp.logical_not(isl)
+        d_opt, v_opt = brent_on_mask(self._llh, hist_q, uc_q, rho_q, need)
         d_q = jnp.where(isl, leaf_d, d_opt)
         v_q = jnp.where(isl, leaf_v, v_opt)
 
