@@ -240,3 +240,106 @@ def place_read(oi: OracleIndex, seq: str, qtree_nodes, hdist_th=4,
         return [(qse, pp[qse].lwr / total, pp[qse].d, pp[qse].v) for qse in cands]
     best = sorted(cands, key=lambda q: (nodes[q].card, -pp[q].d))[-1]
     return [(best, pp[best].lwr / total, pp[best].d, pp[best].v)]
+
+
+def query_read_mapped(oi: OracleIndex, seq: str, hdist_th: int, qtree_nodes):
+    """query_read but decode skips index leaves absent from qtree_nodes
+    (ref: src/query.cpp:374-375 null node skip)."""
+    k, h = oi.k, oi.h
+    mers = oracle.search_mers_oracle(seq, k, oi.ppos, oi.npos)
+    onmers = len(mers)
+    leaf_or: Dict[int, OMinfo] = {}
+    leaf_rc: Dict[int, OMinfo] = {}
+    filt = [0xFFFFFFFF, 0xFFFFFFFF]
+    enmers = len(seq) - k + 1
+    for (opos, orix, ores, rpos, rrix, rres) in mers:
+        for si, (pos, rix, res, lm) in enumerate(
+                ((opos, orix, ores, leaf_or), (rpos, rrix, rres, leaf_rc))):
+            if not oi.resident(rix):
+                continue
+            for enc, leaves in oi.bucket(rix).items():
+                hd = oracle.hdist_lr32(enc, res)
+                if hd > hdist_th:
+                    continue
+                if hd < filt[si]:
+                    filt[si] = hd
+                for se in leaves:
+                    if se not in qtree_nodes:
+                        continue
+                    if se not in lm:
+                        lm[se] = OMinfo(hdist_th, enmers, oi.rho[se])
+                    lm[se].update(pos, hd)
+    filt = [(2 * f + 1) & 0xFFFFFFFF for f in filt]
+    node_to_minfo: Dict[int, OMinfo] = {}
+    closest = OMinfo(hdist_th)
+    closest_se = None
+    for lm, fi in ((leaf_or, filt[0]), (leaf_rc, filt[1])):
+        for se in sorted(lm):
+            mi = lm[se]
+            mi.mismatch = onmers - mi.match
+            if mi.hdist_min > fi:
+                continue
+            mi.optimize(k, h, hdist_th)
+            if mi.d <= closest.d:
+                closest, closest_se = mi, se
+            if lm is leaf_rc and se in node_to_minfo:
+                mo = node_to_minfo[se]
+                if (mi.d > mo.d) or (mi.d == mo.d and mi.match < mo.match):
+                    node_to_minfo[se] = mo
+                    continue
+            node_to_minfo[se] = mi
+    if closest_se is not None:
+        node_to_minfo[closest_se] = closest
+    return node_to_minfo, closest_se, closest, onmers
+
+
+def place_read_mapped(oi, seq, qtree_nodes, hdist_th=4, chisq_value=2.706,
+                      tau=2, no_filter=False, multi=True):
+    """place_read against a mapped placement tree."""
+    k, h = oi.k, oi.h
+    node_to_minfo, closest_se, closest, onmers = query_read_mapped(
+        oi, seq, hdist_th, qtree_nodes)
+    if not node_to_minfo or not (no_filter or closest.leq_tau(tau) > 1.0):
+        return None
+    if len(node_to_minfo) == 1:
+        nd = qtree_nodes[closest_se]
+        return [(nd.se, 1.0, closest.d, closest.v)]
+    pp: Dict[int, OMinfo] = {}
+    nodes = {}
+    for se, mi in node_to_minfo.items():
+        nd = qtree_nodes[se]
+        pp[nd.se] = mi
+        nodes[nd.se] = nd
+        denom = 1.0
+        p = nd.parent
+        cur_leaf = nd
+        while p is not None:
+            if p.is_taxon and cur_leaf.is_taxon:
+                denom = 1.0
+            else:
+                denom /= p.eff_nchildren
+            if p.se not in pp:
+                pp[p.se] = OMinfo(hdist_th)
+            pp[p.se].add(mi, denom)
+            nodes[p.se] = p
+            p = p.parent
+    cands = []
+    for qse in sorted(pp):
+        nd = nodes[qse]
+        mi = pp[qse]
+        if nd.nchildren != nd.eff_nchildren or nd.nchildren == 1:
+            continue
+        if no_filter or mi.leq_tau(tau) > 1.0:
+            if not nd.is_leaf:
+                mi.optimize(k, h, hdist_th)
+            mi.chisq = closest.ratio_at(mi.d, k, h, hdist_th)
+            if mi.chisq < chisq_value and nd.parent is not None:
+                cands.append(qse)
+    total = 0.0
+    for qse in cands:
+        pp[qse].lwr = math.exp(-pp[qse].chisq / 2)
+        total += pp[qse].lwr
+    if multi:
+        return [(qse, pp[qse].lwr / total, pp[qse].d, pp[qse].v) for qse in cands]
+    best = sorted(cands, key=lambda q: (nodes[q].card, -pp[q].d))[-1]
+    return [(best, pp[best].lwr / total, pp[best].d, pp[best].v)]

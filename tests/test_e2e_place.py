@@ -143,3 +143,79 @@ def test_run_place_tabular(world, tmp_path):
     for ln in lines[3:]:
         parts = ln.split("\t")
         assert len(parts) == 5
+
+
+def test_place_qtree_mapping_matches_oracle(world, tmp_path):
+    """Placement onto a user tree (-t): map_to_qtree + eff_nchildren path."""
+    from krepp_tpu.tree.newick import Tree, map_to_qtree
+
+    built, di, oi, reads, tree = world
+    # a placement tree missing two leaves exercises unmapped slots and
+    # eff_nchildren recomputation
+    names = [built.ftree.names[se] for se in di.leaf_ses]
+    drop = set(names[:2])
+    def prune(nd):
+        if nd.is_leaf:
+            return None if nd.name in drop else nd.name + (
+                "" if np.isnan(nd.blen) else f":{nd.blen:g}")
+        subs = [prune(c) for c in nd.children]
+        subs = [s for s in subs if s]
+        if len(subs) == 0:
+            return None
+        if len(subs) == 1:
+            return subs[0]
+        return "(" + ",".join(subs) + ")" + (nd.name or "") + (
+            "" if np.isnan(nd.blen) else f":{nd.blen:g}")
+    root_s = prune(tree.root)
+    if root_s.startswith("(") and not root_s.endswith(")"):
+        # strip a trailing :blen on the root only
+        root_s = root_s[: root_s.rindex(")") + 1]
+    qnwk = root_s + ";"
+    qtree = Tree.parse(qnwk)
+
+    cfg = PlaceConfig()
+    engine = QueryEngine(di, cfg.hdist_th)
+    pv = di.placement_view(qtree)
+    agg = PlaceAggregator(engine, pv, cfg)
+    from krepp_tpu.core.codec import pad_codes_batch, seq_to_codes
+    codes, lengths = pad_codes_batch([seq_to_codes(s) for _, s in reads])
+    leaf_ok = np.asarray(pv.leaf_qse > 0)
+    lr = engine.run_leaf_stage(codes, lengths, leaf_ok=leaf_ok)
+    hist_q, uc_q, rho_q, d_q, v_q, support, leq_tau, chisq_q = agg.aggregate(lr)
+
+    # oracle mapping: index se -> qtree node
+    se_to_node = map_to_qtree(tree, qtree)
+    qtree_nodes = {se: se_to_node[se] for se in range(1, tree.nnodes + 1)
+                   if se_to_node[se] is not None}
+    # oracle index must also skip unmapped leaves in decode: emulate by
+    # filtering minfos to mapped leaves inside place_read via qtree_nodes
+    for b, (rid, seq) in enumerate(reads):
+        nm, cse, cl, onm = oracle_query.query_read_mapped(
+            oi, seq, cfg.hdist_th, qtree_nodes)
+        gate = bool(nm) and (cfg.no_filter or cl.leq_tau(cfg.tau) > 1.0)
+        n_pres = int(lr.present[b].sum())
+        closest_leq = float(lr.hist_closest[b, : cfg.tau + 1].sum())
+        ggate = n_pres > 0 and (cfg.no_filter or closest_leq > 1.0)
+        assert gate == ggate, (b, rid)
+        if not gate:
+            continue
+        want = oracle_query.place_read_mapped(
+            oi, seq, qtree_nodes, hdist_th=cfg.hdist_th,
+            chisq_value=cfg.chisq_value, tau=cfg.tau,
+            no_filter=cfg.no_filter, multi=True)
+        qflat = pv.qflat
+        if n_pres == 1:
+            s = int(lr.closest_slot[b])
+            got = [(int(pv.leaf_qse[s]), 1.0, float(lr.closest_d[b]))]
+        else:
+            cand_mask = (support[b] & pv.candidate_ok & (qflat.parent != 0))
+            cand_mask &= cfg.no_filter | (leq_tau[b] > 1.0)
+            cand_mask &= chisq_q[b] < cfg.chisq_value
+            cand = np.flatnonzero(cand_mask)
+            lwr = np.exp(-chisq_q[b, cand] / 2.0)
+            tot = lwr.sum()
+            got = [(int(q), float(lwr[i] / tot), float(d_q[b, q]))
+                   for i, q in enumerate(cand)]
+        wf = sorted((q, fmt5(l), fmt5(d)) for q, l, d, v in want)
+        gf = sorted((q, fmt5(l), fmt5(d)) for q, l, d in got)
+        assert gf == wf, (b, rid, got, want)
