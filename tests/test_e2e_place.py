@@ -11,6 +11,7 @@ from krepp_tpu.index.build import build_index
 from krepp_tpu.index.index import DeviceIndex
 from krepp_tpu.query.engine import QueryEngine
 from krepp_tpu.query.place import run_place, PlaceConfig, PlaceAggregator
+from krepp_tpu.query.dist import run_dist, DistConfig
 from krepp_tpu.tree.newick import Tree
 from krepp_tpu.reports import fmt5
 from krepp_tpu.core.codec import seq_to_codes, pad_codes_batch
@@ -219,3 +220,64 @@ def test_place_qtree_mapping_matches_oracle(world, tmp_path):
         wf = sorted((q, fmt5(l), fmt5(d)) for q, l, d, v in want)
         gf = sorted((q, fmt5(l), fmt5(d)) for q, l, d in got)
         assert gf == wf, (b, rid, got, want)
+
+
+def test_place_summarize_matches_oracle(world, tmp_path):
+    built, di, oi, reads, tree = world
+    qpath = tmp_path / "qsum.fq"
+    with open(qpath, "w") as f:
+        for rid, seq in reads:
+            f.write(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n")
+    out = io.StringIO()
+    cfg = PlaceConfig(summarize=True)
+    run_place(di, str(qpath), out, "inv", cfg)
+    lines = out.getvalue().splitlines()
+    hdr = lines.index("DISTAL_NODE\tEDGE_NUM\tWEIGHTED_COUNT\tSEQUENCE_ABUNDANCE")
+    got = lines[hdr + 1:]
+    # oracle accumulation (ref: src/query.cpp:231-299 summarize branches)
+    qtree_nodes = {se: tree.se_to_node[se] for se in range(1, tree.nnodes + 1)}
+    wc = {}
+    for rid, seq in reads:
+        want = oracle_query.place_read(oi, seq, qtree_nodes,
+                                       no_filter=cfg.no_filter,
+                                       tau=cfg.tau, multi=True)
+        if want is None:
+            continue
+        for q, l, d, v in want:
+            wc[q] = wc.get(q, 0.0) + 1.0 / len(want)
+    tw = sum(wc.values())
+    expect = []
+    for q in sorted(wc):
+        nd = tree.se_to_node[q]
+        nm = nd.name if nd.name else "NA"
+        expect.append(f"{nm}\t{q - 1}\t{fmt5(wc[q])}\t{fmt5(wc[q] / tw)}")
+    assert got == expect
+
+
+def test_place_mixed_read_lengths(world, tmp_path):
+    """Variable-length reads (padding masks) against the oracle."""
+    import worldgen as wg
+
+    built, di, oi, reads, tree = world
+    rng = np.random.default_rng(123)
+    # re-cut reads to different lengths from the same genomes
+    import oracle_query as oq
+    gen_names = sorted({rid for rid, _ in reads})
+    long_reads = []
+    g0 = oi  # use sequences from the world fixture reads as material
+    base = "".join(seq for _, seq in reads[:4])
+    for i, ln in enumerate((60, 100, 151, 250, 380)):
+        start = rng.integers(0, max(1, len(base) - ln))
+        long_reads.append((f"mix{i}", base[start: start + ln]))
+    engine = QueryEngine(di, 4)
+    codes, lengths = pad_codes_batch([seq_to_codes(s) for _, s in long_reads])
+    lr = engine.run_leaf_stage(codes, lengths)
+    for b, (rid, seq) in enumerate(long_reads):
+        want = oracle_query.dist_rows(oi, seq, hdist_th=4)
+        got_slots = np.flatnonzero(lr.present[b])
+        if want is None:
+            assert len(got_slots) == 0, (b, rid)
+            continue
+        got = sorted((int(di.leaf_ses[s]), fmt5(float(lr.d[b, s])))
+                     for s in got_slots)
+        assert got == sorted((se, fmt5(d)) for se, d in want), (b, rid)

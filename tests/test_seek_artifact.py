@@ -184,3 +184,36 @@ def test_reference_artifact_roundtrip(index_world, tmp_path):
             di1.enc_v))}
     assert s0 == s1
     assert _dist_text(di0, reads, tmp_path, "c") == _dist_text(di1, reads, tmp_path, "d")
+
+
+def test_multi_partial_reference_load(index_world, tmp_path):
+    """Two no-frac partials (r=1, r=2) built separately and loaded from one
+    directory must behave like the reference's partial-index workflow
+    (ref: src/krepp.cpp:66-108, src/index.cpp:144-158)."""
+    import dataclasses
+
+    from krepp_tpu.index.build import build_index
+    from krepp_tpu.tree.newick import Tree
+
+    built, reads, tmp = index_world
+    # rebuild the same world twice with different residues
+    input_map = [(n, str(tmp / f"{n}.fna")) for n in built.names]
+    refdir = tmp_path / "multipart"
+    parts = []
+    for r in (1, 2):
+        p = dataclasses.replace(built.params, r=r, frac=False)
+        b = build_index(input_map, p, built.tree, progress=False)
+        artifact.save_index_reference(b, str(refdir))
+        parts.append(b)
+    di = artifact.load_index_reference(str(refdir))
+    assert int(di.resident.sum()) == 2
+    assert di.nkmers == parts[0].nkmers + parts[1].nkmers
+    # rho coefficient = 2/4 residues
+    for b in parts:
+        pass
+    # query through both partials: every read that hits residues 1 or 2 must
+    # produce finite distances
+    out_text = _dist_text(di, reads, tmp_path, "mp")
+    assert "DIST" in out_text
+    rows = [l for l in out_text.splitlines()[2:] if not l.endswith("NaN")]
+    assert len(rows) > 0
