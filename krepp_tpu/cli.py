@@ -172,6 +172,10 @@ def main(argv=None) -> int:
     t0 = time.time()
     print(f"Invocation: {inv}", file=sys.stderr)
 
+    if getattr(args, "dist_max", None) is not None and not (
+            args.dist_max != args.dist_max):  # not NaN
+        if not (1e-8 <= args.dist_max <= 0.33):
+            raise SystemExit("--dist-max must be in [1e-08, 0.33]")
     if args.cmd == "index":
         cmd_index(args)
     elif args.cmd == "dist":
