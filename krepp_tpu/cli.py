@@ -119,6 +119,20 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _mesh_factory(spec):
+    """--mesh DATAxSHARD -> engine factory over the local devices."""
+    if not spec:
+        return None
+    nd, ns = (int(x) for x in spec.lower().split("x"))
+
+    def factory(dindex, hdist_th):
+        from .parallel.mesh import ShardedQueryEngine, make_query_mesh
+
+        return ShardedQueryEngine(dindex, make_query_mesh(nd, ns), hdist_th)
+
+    return factory
+
+
 def _add_query_opts(sc):
     sc.add_argument("-q", "--query", required=True,
                     help="Query FASTA/FASTQ file.")
@@ -130,6 +144,10 @@ def _add_query_opts(sc):
                     help="Maximum Hamming distance for a k-mer to match. [4]")
     sc.add_argument("--chisq", type=float, default=2.706, dest="chisq_value",
                     help="Chi-square value for the distinguishability test. [2.706]")
+    sc.add_argument("--mesh", default=None,
+                    help="Device mesh DATAxSHARD for multi-chip querying "
+                         "(e.g. 2x4: reads data-parallel over 2, index "
+                         "row-sharded over 4). [single device]")
     sm = sc.add_mutually_exclusive_group()
     sm.add_argument("--summarize", dest="summarize", action="store_true",
                     default=False,
@@ -243,7 +261,8 @@ def cmd_dist(args, inv):
                      no_filter=not args.filter, summarize=args.summarize)
     out = _out_stream(args.output_path)
     try:
-        n = run_dist(di, args.query, out, inv, cfg)
+        n = run_dist(di, args.query, out, inv, cfg,
+                     engine_factory=_mesh_factory(args.mesh))
     finally:
         if out is not sys.stdout:
             out.close()
@@ -271,7 +290,8 @@ def cmd_place(args, inv):
                       tabular=args.tabular)
     out = _out_stream(args.output_path)
     try:
-        n = run_place(di, args.query, out, inv, cfg, qtree=qtree)
+        n = run_place(di, args.query, out, inv, cfg, qtree=qtree,
+                      engine_factory=_mesh_factory(args.mesh))
     finally:
         if out is not sys.stdout:
             out.close()

@@ -21,8 +21,14 @@ from .engine import QueryEngine, D_MAX
 
 
 def _bucket_len(n: int) -> int:
-    """Pad batch max length to limit jit recompiles."""
-    return max(64, ((n + 63) // 64) * 64)
+    """Pad batch max length to limit jit recompiles.
+
+    Short reads snap to 64-multiples; long queries (contigs) to powers of
+    two so each decade of lengths costs at most a few compiles.
+    """
+    if n <= 512:
+        return max(64, ((n + 63) // 64) * 64)
+    return 1 << (n - 1).bit_length()
 
 
 @dataclass

@@ -122,10 +122,11 @@ class PlaceAggregator:
 
 def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
               invocation: str, cfg: Optional[PlaceConfig] = None,
-              qtree=None) -> int:
+              qtree=None, engine_factory=None) -> int:
     cfg = cfg or PlaceConfig()
     pv = dindex.placement_view(qtree)
-    engine = QueryEngine(dindex, cfg.hdist_th)
+    engine = engine_factory(dindex, cfg.hdist_th) if engine_factory else \
+        QueryEngine(dindex, cfg.hdist_th)
     agg = PlaceAggregator(engine, pv, cfg)
     qflat = pv.qflat
     tree_nwk = pv.qtree.newick(jplace=True, fixed5=True)

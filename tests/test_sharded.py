@@ -51,3 +51,47 @@ def test_sharded_equals_single(world, n_data, n_shard):
     assert np.allclose(lr0.d[lr0.present], lr1.d[lr1.present],
                        rtol=1e-9, atol=1e-11)
     assert np.array_equal(lr0.onmers, lr1.onmers)
+
+
+def test_cli_mesh_dist_and_place(world, tmp_path):
+    """--mesh through the CLI on the virtual CPU mesh."""
+    import json
+
+    from krepp_tpu.cli import main
+    from krepp_tpu.index import artifact
+    from krepp_tpu.testing import sample_reads
+
+    di, reads = world
+    # need a disk index + query file
+    idx = str(tmp_path / "idx")
+    # rebuild a BuiltIndex-compatible artifact from the DeviceIndex's source
+    # world: reuse the module fixture's arrays via reference export is not
+    # available here, so build a fresh small index on disk
+    rng = np.random.default_rng(2)
+    import worldgen
+    from test_e2e_dist import write_world
+    from krepp_tpu.params import IndexParams, LSHParams
+    from krepp_tpu.index.build import build_index
+    from krepp_tpu.tree.newick import Tree
+    nwk, genomes = worldgen.make_world(rng, nleaves=6, glen=1200, rate=0.05)
+    im = write_world(tmp_path, genomes)
+    params = IndexParams(lsh=LSHParams.generate(27, 11, 2, seed=4), w=35,
+                         r=1, frac=True)
+    built = build_index(im, params, Tree.parse(nwk), progress=False)
+    artifact.save_native(built, idx)
+    qpath = tmp_path / "q.fq"
+    with open(qpath, "w") as f:
+        for rid, seq in worldgen.sample_reads(rng, genomes, n=6):
+            f.write(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n")
+    dout = str(tmp_path / "d_mesh.tsv")
+    assert main(["dist", "-q", str(qpath), "-i", idx, "-o", dout,
+                 "--mesh", "2x4"]) == 0
+    dout0 = str(tmp_path / "d_single.tsv")
+    assert main(["dist", "-q", str(qpath), "-i", idx, "-o", dout0]) == 0
+    assert open(dout).read().splitlines()[2:] == \
+        open(dout0).read().splitlines()[2:]
+    pout = str(tmp_path / "p_mesh.jplace")
+    assert main(["place", "-q", str(qpath), "-i", idx, "-o", pout,
+                 "--mesh", "1x8"]) == 0
+    doc = json.loads(open(pout).read())
+    assert doc["version"] == 3
