@@ -17,7 +17,6 @@ batch dimension vectorizes trivially.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

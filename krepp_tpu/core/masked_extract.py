@@ -13,7 +13,7 @@ winnow (core/winnow_device.py).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

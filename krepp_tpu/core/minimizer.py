@@ -28,7 +28,7 @@ loop-carried dependence here.
 from __future__ import annotations
 
 import functools
-from typing import Iterable, List, Tuple
+from typing import Iterable, List
 
 import jax
 import jax.numpy as jnp

@@ -12,12 +12,11 @@ from __future__ import annotations
 
 import sys
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..params import IndexParams
-from ..core import minimizer
 from ..core import winnow_device
 from ..core import masked_extract
 from ..io.fastx import read_genome_codes

@@ -13,7 +13,7 @@ entry expands through a precomputed per-color leaf bitmask.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -13,7 +13,6 @@ import gzip
 import io
 import os
 import re
-import sys
 import tempfile
 from typing import Iterator, List, Tuple
 

@@ -10,8 +10,7 @@ global min-distance over `shard` — all riding ICI under one jit.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import codec
 from ..index.index import DeviceIndex
-from ..query.engine import HD_SENTINEL, QueryEngine
+from ..query.engine import QueryEngine
 from ..query.bucket_scan import probe_strand, probe_strand_full
 
 

@@ -21,8 +21,6 @@ per (read, position, leaf), counted once per position.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -8,16 +8,16 @@ QueryIndex::estimate_distances pipeline (ref: src/krepp.cpp:347-394).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, TextIO
 
 import numpy as np
 
-from ..core.codec import seq_to_codes, pad_codes_batch
+from ..core.codec import pad_codes_batch
 from ..index.index import DeviceIndex
 from ..io.fastx import QueryBatcher
 from ..reports import dist_header, fmt5
-from .engine import QueryEngine, D_MAX
+from .engine import QueryEngine
 
 
 def _bucket_len(n: int) -> int:

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,7 @@ from ..core import codec
 from .bucket_scan import (make_expander, probe_strand,
                           probe_strand_full, scan_buckets_min)
 from ..core.llh import make_llh, brent_find_minima, brent_on_mask, F
-from ..index.index import DeviceIndex, DeviceSketch, PlacementView
+from ..index.index import DeviceIndex, DeviceSketch
 
 HD_SENTINEL = 255          # "no match" Hamming distance marker
 D_MAX = np.finfo(np.float64).max  # Minfo d_llh default (ref: src/query.hpp:226)

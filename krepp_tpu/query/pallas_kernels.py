@@ -19,11 +19,8 @@ numerical contract is identical to the XLA path.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 HD_SENTINEL = 255
 

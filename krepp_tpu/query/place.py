@@ -10,19 +10,19 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Dict, List, Optional, TextIO, Tuple
+from typing import Dict, List, Optional, TextIO
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.codec import seq_to_codes, pad_codes_batch
-from ..core.llh import make_llh, brent_find_minima, brent_on_mask, F
+from ..core.codec import pad_codes_batch
+from ..core.llh import brent_on_mask, F
 from ..index.index import DeviceIndex, PlacementView
 from ..io.fastx import QueryBatcher
 from ..reports import (begin_jplace, end_jplace, fmt5, jplace_fields,
                        jukes_cantor, place_header)
-from .engine import QueryEngine, LeafResults, D_MAX
+from .engine import QueryEngine, LeafResults
 from .dist import _bucket_len
 
 

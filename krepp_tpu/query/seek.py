@@ -5,11 +5,9 @@
 
 from __future__ import annotations
 
-from typing import Optional, TextIO
+from typing import TextIO
 
-import numpy as np
-
-from ..core.codec import seq_to_codes, pad_codes_batch
+from ..core.codec import pad_codes_batch
 from ..index.index import DeviceSketch
 from ..io.fastx import QueryBatcher
 from ..reports import fmt5, seek_header

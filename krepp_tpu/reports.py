@@ -9,8 +9,6 @@ diff-based parity checks see identical framing.
 from __future__ import annotations
 
 import math
-from typing import List
-
 from . import REFERENCE_VERSION
 
 

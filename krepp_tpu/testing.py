@@ -13,8 +13,7 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from .params import IndexParams, LSHParams
-from .core.codec import seq_to_codes
-from .index.build import BuiltIndex, build_index_from_sources
+from .index.build import build_index_from_sources
 from .tree.newick import Tree
 
 BASES = "ACGT"
