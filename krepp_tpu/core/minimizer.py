@@ -62,11 +62,13 @@ def _window_stats(codes: jax.Array, lsh: LSHParams, w: int):
 
 
 def _round_len(n: int) -> int:
-    """Bucket contig lengths to limit jit recompiles."""
-    if n <= 4096:
-        return 1 << max(8, (n - 1).bit_length())
-    step = 1 << 20
-    return ((n + step - 1) // step) * step if n > (1 << 20) else 1 << (n - 1).bit_length()
+    """Bucket contig lengths to limit jit recompiles.
+
+    Pure powers of two: each compile through the remote compiler costs
+    minutes, so at most ~20 shapes can ever exist; the <=2x padding is
+    cheap device work.
+    """
+    return 1 << max(8, (n - 1).bit_length())
 
 
 def extract_sequence_mers(codes: np.ndarray, params: IndexParams):

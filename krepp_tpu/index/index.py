@@ -193,6 +193,10 @@ class DeviceSketch:
     max_bucket: int
     rho: float
 
+    @property
+    def nkmers(self) -> int:
+        return len(self.enc_v)
+
     @staticmethod
     def from_built(built: BuiltSketch) -> "DeviceSketch":
         p = built.params
