@@ -52,10 +52,15 @@ def _hll_registers(zlo: jax.Array, mask: jax.Array) -> jax.Array:
 @functools.partial(jax.jit,
                    static_argnames=("lsh", "w", "r", "frac"))
 def winnow_device(codes: jax.Array, n_real: jax.Array, lsh: LSHParams,
-                  w: int, r: int, frac: bool):
-    """One padded contig -> deduped (local_row, residual) + HLL registers.
+                  w: int, r: int, frac: bool,
+                  t_lo: jax.Array = None, do_final: jax.Array = None):
+    """One padded contig (or halo'd tile) -> deduped (local_row, residual) +
+    HLL registers.
 
     codes: [L] uint8 padded with 4; n_real: real length (int32 scalar).
+    For tiles of a chunked long contig, t_lo masks emissions/c1 to window
+    positions >= t_lo (the left halo) and do_final gates the end-of-sequence
+    emission (last tile only).
     Returns (rows[P+1], res[P+1], nuniq, c1reg[4096], c2reg[4096]) where the
     first nuniq entries of rows/res are the sorted unique kept pairs.
     """
@@ -66,6 +71,10 @@ def winnow_device(codes: jax.Array, n_real: jax.Array, lsh: LSHParams,
     L = codes.shape[-1]
     P = L - k + 1
     t_idx = jnp.arange(P, dtype=jnp.int32)
+    if t_lo is None:
+        t_lo = jnp.int32(0)
+    if do_final is None:
+        do_final = jnp.bool_(True)
 
     valid = codec.window_valid(codes, k) & (t_idx <= n_real - k)
     if w > k:
@@ -116,7 +125,7 @@ def winnow_device(codes: jax.Array, n_real: jax.Array, lsh: LSHParams,
     f_res = jnp.where(zero_entry, jnp.uint32(0), res[fsel])
     f_zlo = jnp.where(zero_entry, jnp.uint32(0), z_lo[fsel])
     last_t = jnp.clip(n_real - k, 0, P - 1)
-    f_valid = valid[last_t] & (n_real >= k)
+    f_valid = valid[last_t] & (n_real >= k) & do_final
 
     # LSH residue filter + unified local row (single-partial build scheme,
     # ref: src/rqseq.cpp:125-139)
@@ -130,7 +139,7 @@ def winnow_device(codes: jax.Array, n_real: jax.Array, lsh: LSHParams,
             local = rr // jnp.uint32(m)
         return kp, local
 
-    emit = valid & valid_w
+    emit = valid & valid_w & (t_idx >= t_lo)
     kp, local = keep_and_local(mrow)
     kp = kp & emit
     fkp, flocal = keep_and_local(f_row)
@@ -151,7 +160,7 @@ def winnow_device(codes: jax.Array, n_real: jax.Array, lsh: LSHParams,
     _, crow, cres = jax.lax.sort((order_key, srow, sres), num_keys=1,
                                  is_stable=True)
 
-    c1reg = _hll_registers(z_lo, valid)
+    c1reg = _hll_registers(z_lo, valid & (t_idx >= t_lo))
     c2_mask = emit
     c2reg = _hll_registers(mzlo, c2_mask)
     f_reg = _hll_registers(f_zlo[None], f_valid[None])
@@ -159,22 +168,13 @@ def winnow_device(codes: jax.Array, n_real: jax.Array, lsh: LSHParams,
     return crow, cres, nuniq, c1reg, c2reg
 
 
-def extract_sequence_mers_device(codes: np.ndarray, params: IndexParams):
-    """Device-winnowed equivalent of minimizer.extract_sequence_mers.
+# maximum single-compile tile: one XLA program per power-of-two shape up to
+# this; longer contigs are processed in halo-overlapped tiles of this size
+# (each cold compile through the remote compiler costs minutes)
+_CHUNK = 1 << 20
 
-    Returns (rows, res, c1reg, c2reg) with rows/res already deduplicated,
-    or None for contigs shorter than w.
-    """
-    from .minimizer import _round_len
 
-    n = len(codes)
-    if n < params.w:
-        return None
-    padded = np.full(_round_len(n), 4, dtype=np.uint8)
-    padded[:n] = codes
-    crow, cres, nuniq, c1reg, c2reg = winnow_device(
-        jnp.asarray(padded), jnp.int32(n), params.lsh, params.w, params.r,
-        params.frac)
+def _fetch_result(crow, cres, nuniq, c1reg, c2reg):
     nu = int(nuniq)
     # slice to a bucketed length: a distinct slice shape per contig would
     # trigger a fresh XLA compile (~seconds) every time
@@ -183,6 +183,84 @@ def extract_sequence_mers_device(codes: np.ndarray, params: IndexParams):
     rows, res, c1, c2 = jax.device_get(
         (crow[:nu_pad], cres[:nu_pad], c1reg, c2reg))
     return rows[:nu], res[:nu], c1.astype(np.uint8), c2.astype(np.uint8)
+
+
+def extract_sequence_mers_device(codes: np.ndarray, params: IndexParams):
+    """Device-winnowed equivalent of minimizer.extract_sequence_mers.
+
+    Returns (rows, res, c1reg, c2reg) with rows/res deduplicated, or None
+    for contigs shorter than w. Contigs longer than the compile-shape
+    budget are tiled with a (w-k)-position halo; tile results are exact
+    (each emit position is computed by exactly one tile with its full
+    minimizer window in view).
+    """
+    from .minimizer import _round_len
+
+    n = len(codes)
+    if n < params.w:
+        return None
+    k = params.lsh.k
+    w = max(params.w, k)
+    ldiff = w - k + 1
+    if _round_len(n) <= _CHUNK:
+        padded = np.full(_round_len(n), 4, dtype=np.uint8)
+        padded[:n] = codes
+        out = winnow_device(jnp.asarray(padded), jnp.int32(n), params.lsh,
+                            params.w, params.r, params.frac)
+        return _fetch_result(*out)
+
+    # ---- chunked path
+    left = w - k                      # halo width in window positions
+    span = _CHUNK - left - k + 1      # emit positions per tile
+    P_global = n - k + 1
+    tiles = list(range(0, P_global, span))
+    # the end-of-sequence emission needs the last `ldiff` valid k-mers to
+    # live inside the final tile; with pathological trailing N-runs they may
+    # not — fall back to the exact host path then
+    f_start = max(tiles[-1] - left, 0)
+    tail = codes[f_start:]
+    bad = (tail >= 4).astype(np.int32)
+    cbad = np.concatenate([[0], np.cumsum(bad)])
+    tail_valid = int(((cbad[k:] - cbad[:-k]) == 0).sum()) if len(tail) >= k else 0
+    if tail_valid < ldiff:
+        from .hll import HyperLogLog
+        from .minimizer import extract_sequence_mers
+
+        rows, res, c1h, c2h = extract_sequence_mers(codes, params)
+        key = np.unique(rows.astype(np.uint64) << np.uint64(32) | res)
+        h1 = HyperLogLog(_HLL_B)
+        h1.add_many(c1h)
+        h2 = HyperLogLog(_HLL_B)
+        h2.add_many(c2h)
+        return ((key >> np.uint64(32)).astype(np.uint32),
+                (key & np.uint64(0xFFFFFFFF)).astype(np.uint32), h1.M, h2.M)
+
+    all_rows, all_res = [], []
+    c1acc = np.zeros(1 << _HLL_B, np.uint8)
+    c2acc = np.zeros(1 << _HLL_B, np.uint8)
+    for a in tiles:
+        b = min(a + span, P_global)
+        start = a - left if a > 0 else 0
+        t_lo = a - start
+        sl = codes[start: b + k - 1]
+        padded = np.full(_CHUNK, 4, dtype=np.uint8)
+        padded[: len(sl)] = sl
+        is_final = b == P_global
+        out = winnow_device(jnp.asarray(padded), jnp.int32(len(sl)),
+                            params.lsh, params.w, params.r, params.frac,
+                            t_lo=jnp.int32(t_lo),
+                            do_final=jnp.bool_(is_final))
+        rows, res, c1, c2 = _fetch_result(*out)
+        all_rows.append(rows)
+        all_res.append(res)
+        np.maximum(c1acc, c1, out=c1acc)
+        np.maximum(c2acc, c2, out=c2acc)
+    rows = np.concatenate(all_rows)
+    res = np.concatenate(all_res)
+    # cross-tile dedupe (each tile is internally unique already)
+    key = np.unique(rows.astype(np.uint64) << np.uint64(32) | res)
+    return ((key >> np.uint64(32)).astype(np.uint32),
+            (key & np.uint64(0xFFFFFFFF)).astype(np.uint32), c1acc, c2acc)
 
 
 def extract_genome_mers_device(contigs, params: IndexParams):

@@ -107,3 +107,42 @@ def test_device_winnow_genome_rho():
     k1 = _dedupe_genome(r1[0], r1[1])
     assert np.array_equal(k0[0], k1[0]) and np.array_equal(k0[1], k1[1])
     assert abs(r0[2] - r1[2]) < 1e-12
+
+
+def test_device_winnow_chunked_matches_host(monkeypatch):
+    """Chunked long-contig path (tiny tiles) vs the host reference."""
+    from krepp_tpu.core import winnow_device as wd
+
+    monkeypatch.setattr(wd, "_CHUNK", 2048)
+    rng = np.random.default_rng(71)
+    params = make_params()
+    for n, with_n in ((6000, False), (9000, True), (4100, True)):
+        seq = rand_seq(rng, n, with_n)
+        codes = codec.seq_to_codes(seq)
+        host = minimizer.extract_sequence_mers(codes, params)
+        dev = wd.extract_sequence_mers_device(codes, params)
+        h_rows, h_res, h_c1, h_c2 = host
+        d_rows, d_res, d_c1, d_c2 = dev
+        key_h = np.unique(h_rows.astype(np.uint64) << np.uint64(32) | h_res)
+        key_d = np.unique(d_rows.astype(np.uint64) << np.uint64(32) | d_res)
+        assert np.array_equal(key_d, key_h), (n, with_n)
+        hll1 = HyperLogLog(12); hll1.add_many(h_c1)
+        hll2 = HyperLogLog(12); hll2.add_many(h_c2)
+        assert np.array_equal(hll1.M, d_c1), (n, with_n)
+        assert np.array_equal(hll2.M, d_c2), (n, with_n)
+
+
+def test_device_winnow_chunked_trailing_n_fallback(monkeypatch):
+    """Trailing N-flood forces the exact host fallback."""
+    from krepp_tpu.core import winnow_device as wd
+
+    monkeypatch.setattr(wd, "_CHUNK", 2048)
+    rng = np.random.default_rng(72)
+    params = make_params()
+    seq = rand_seq(rng, 7000) + "N" * 2500 + rand_seq(rng, 30)
+    codes = codec.seq_to_codes(seq)
+    host = minimizer.extract_sequence_mers(codes, params)
+    dev = wd.extract_sequence_mers_device(codes, params)
+    key_h = np.unique(host[0].astype(np.uint64) << np.uint64(32) | host[1])
+    key_d = np.unique(dev[0].astype(np.uint64) << np.uint64(32) | dev[1])
+    assert np.array_equal(key_d, key_h)
