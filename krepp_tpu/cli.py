@@ -26,7 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="krepp-tpu: TPU-native k-mer-based search, distance "
                     "estimation & phylogenetic placement.")
     p.add_argument("--help", action="help")
-    p.add_argument("--seed", type=int, default=0,
+    # default=None mirrors the reference: the mt19937 is only reseeded when
+    # --seed is explicitly given (ref: src/krepp.cpp:688-693); without it the
+    # default-constructed generator (seed 5489) draws the LSH positions.
+    p.add_argument("--seed", type=int, default=None,
                    help="Random seed for the LSH and other parts that require "
                         "randomness. [0]")
     p.add_argument("--num-threads", type=int, default=1,
@@ -247,9 +250,10 @@ def cmd_index(args):
     built = build_index(input_map, params, tree,
                         num_threads=max(1, args.num_threads))
     print(f"\nTotal number of k-mers indexed: {built.nkmers}", file=sys.stderr)
-    artifact.save_native(built, args.index_dir, seed=args.seed)
+    artifact.save_native(built, args.index_dir, seed=args.seed or 0)
     if args.export_reference_format:
-        artifact.save_index_reference(built, args.index_dir, seed=args.seed)
+        artifact.save_index_reference(built, args.index_dir,
+                                      seed=args.seed or 0)
 
 
 def cmd_dist(args, inv):

@@ -10,8 +10,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
-import numpy as np
-
 
 @dataclasses.dataclass(frozen=True)
 class LSHParams:
@@ -48,17 +46,19 @@ class LSHParams:
         return 1 << (2 * self.h)
 
     @staticmethod
-    def generate(k: int, h: int, m: int, seed: int = 0) -> "LSHParams":
-        """Draw h distinct positions out of k.
+    def generate(k: int, h: int, m: int, seed: int | None = 0) -> "LSHParams":
+        """Draw h distinct positions out of k, bit-exactly as the reference.
 
-        The reference draws from a std::mt19937 via uniform_int_distribution
-        (ref: src/lshf.cpp:126-147); we use numpy's Generator. Regenerated
-        indexes are therefore not byte-identical to reference ones for the
-        same seed — index artifacts carry ppos/npos so cross-loading works.
+        Reproduces std::mt19937 + libstdc++ uniform_int_distribution draws
+        (ref: src/lshf.cpp:126-147) via core.stdrand, so an index regenerated
+        here with the same ``--seed`` has the same ppos/npos (hence identical
+        bucket keys/residuals) as one built by the reference binary.
+        ``seed=None`` matches the reference with no ``--seed`` flag
+        (default-constructed generator, ref: src/common.cpp:7).
         """
-        rng = np.random.Generator(np.random.PCG64(seed))
-        ppos = tuple(sorted(rng.choice(k, size=h, replace=False).tolist()))
-        npos = tuple(p for p in range(k) if p not in set(ppos))
+        from .core.stdrand import reference_lsh_positions
+
+        ppos, npos = reference_lsh_positions(k, h, seed)
         return LSHParams(k=k, h=h, m=m, ppos=ppos, npos=npos)
 
 
