@@ -25,6 +25,13 @@ from .colors import ColorTable
 from .build import BuiltIndex, BuiltSketch
 
 
+# Above this many unified rows the dense CSR offset array (4 B/row) costs
+# more HBM than the entries themselves for any realistic index; switch to a
+# sorted sparse row-id table + binary search (h=15 alone implies 2^30 rows,
+# ref: src/krepp.hpp:59-85 allows 3 <= h <= 15).
+SPARSE_ROW_THRESHOLD = 1 << 24
+
+
 @dataclass
 class DeviceIndex:
     """Host-side container of device-ready arrays for one logical index."""
@@ -34,7 +41,7 @@ class DeviceIndex:
     res_rank: np.ndarray      # int32 [m], -1 where non-resident
     R: int
     nrows_u: int
-    row_start: np.ndarray     # int32 [nrows_u + 1]
+    row_start: np.ndarray     # int32 [nrows_u + 1] dense, or [nnz + 1] sparse
     enc_v: np.ndarray         # uint32 [nkmers]
     se_v: np.ndarray          # int32 [nkmers]
     max_bucket: int
@@ -49,6 +56,7 @@ class DeviceIndex:
     rho_slot: np.ndarray      # float64 [S]
     se_mask: np.ndarray       # uint32 [nse, W]
     info: str = ""
+    row_ids: Optional[np.ndarray] = None  # int32 [nnz], sorted; None = dense
 
     @property
     def nkmers(self) -> int:
@@ -85,10 +93,7 @@ class DeviceIndex:
         urow = urow[order]
         enc = enc[order]
         se = se[order]
-        counts = np.bincount(urow, minlength=nrows_u)
-        row_start = np.zeros(nrows_u + 1, np.int64)
-        np.cumsum(counts, out=row_start[1:])
-        max_bucket = int(counts.max()) if len(counts) else 0
+        row_ids, row_start, max_bucket = build_row_csr(urow, nrows_u)
 
         if not rho_applied:
             colors.apply_rho_coef(R / m)
@@ -100,12 +105,12 @@ class DeviceIndex:
         se_mask = colors.leaf_masks(slot_of_se, len(leaf_ses))
         return DeviceIndex(
             lsh=lsh, resident=resident, res_rank=res_rank, R=R,
-            nrows_u=nrows_u, row_start=row_start.astype(np.int64),
+            nrows_u=nrows_u, row_start=row_start,
             enc_v=enc.astype(np.uint32), se_v=se.astype(np.int32),
             max_bucket=max_bucket, colors=colors, tree=tree, ftree=ftree,
             wbackbone=wbackbone, names=names, leaf_ses=leaf_ses,
             slot_of_se=slot_of_se, rho_slot=rho_slot, se_mask=se_mask,
-            info=info)
+            info=info, row_ids=row_ids)
 
     @staticmethod
     def from_built(built: BuiltIndex) -> "DeviceIndex":
@@ -120,6 +125,24 @@ class DeviceIndex:
 
     def placement_view(self, qtree: Optional[Tree] = None) -> "PlacementView":
         return PlacementView.create(self, qtree)
+
+
+def build_row_csr(urow_sorted: np.ndarray, nrows_u: int):
+    """CSR offsets over unified rows; sparse row-id table for huge row spaces.
+
+    urow_sorted: per-entry unified row, ascending. Returns
+    (row_ids | None, row_start int64, max_bucket).
+    """
+    if nrows_u <= SPARSE_ROW_THRESHOLD:
+        counts = np.bincount(urow_sorted, minlength=nrows_u)
+        row_start = np.zeros(nrows_u + 1, np.int64)
+        np.cumsum(counts, out=row_start[1:])
+        return None, row_start, int(counts.max()) if len(counts) else 0
+    row_ids, counts = np.unique(urow_sorted, return_counts=True)
+    row_start = np.zeros(len(row_ids) + 1, np.int64)
+    np.cumsum(counts, out=row_start[1:])
+    return (row_ids.astype(np.int64), row_start,
+            int(counts.max()) if len(counts) else 0)
 
 
 def _local_rows_to_global(inc: np.ndarray, p: IndexParams) -> np.ndarray:
@@ -192,6 +215,7 @@ class DeviceSketch:
     enc_v: np.ndarray
     max_bucket: int
     rho: float
+    row_ids: Optional[np.ndarray] = None
 
     @property
     def nkmers(self) -> int:
@@ -215,14 +239,11 @@ class DeviceSketch:
         order = np.lexsort((built.enc_v, urow))
         urow = urow[order]
         enc = built.enc_v[order]
-        counts = np.bincount(urow, minlength=nrows_u)
-        row_start = np.zeros(nrows_u + 1, np.int64)
-        np.cumsum(counts, out=row_start[1:])
+        row_ids, row_start, max_bucket = build_row_csr(urow, nrows_u)
         # rho partial rescale (ref: src/sketch.cpp:25-32)
         rho = built.rho * (R / m)
         return DeviceSketch(lsh=lsh, w=p.w, r=p.r, frac=p.frac,
                             resident=resident, res_rank=res_rank, R=R,
                             nrows_u=nrows_u, row_start=row_start,
                             enc_v=enc.astype(np.uint32),
-                            max_bucket=int(counts.max()) if len(counts) else 0,
-                            rho=rho)
+                            max_bucket=max_bucket, rho=rho, row_ids=row_ids)

@@ -46,6 +46,10 @@ class ShardedQueryEngine(QueryEngine):
         self._probe_jit = jax.jit(self._sharded_probe)
 
     def _build_shards(self, di: DeviceIndex) -> None:
+        if di.row_ids is not None:
+            raise NotImplementedError(
+                "sharded querying over sparse-row indexes (h >= 13 row "
+                "spaces) is not supported yet; use the single-device engine")
         D = self.n_shard
         self.rows_per_shard = rps = (di.nrows_u + D - 1) // D
         starts = di.row_start

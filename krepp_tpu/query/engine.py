@@ -40,6 +40,25 @@ HD_SENTINEL = 255          # "no match" Hamming distance marker
 D_MAX = np.finfo(np.float64).max  # Minfo d_llh default (ref: src/query.hpp:226)
 
 
+def _csr_bucket_slices(row_start, row_ids, urow, resident):
+    """(start, cnt) per probe from a dense or sparse-row CSR.
+
+    Sparse tables (huge LSH row spaces, index.SPARSE_ROW_THRESHOLD) binary-
+    search the sorted nonempty-row ids instead of indexing a dense offset
+    array (ref dense scheme: src/table.hpp:121-136).
+    """
+    if row_ids is None:
+        start = row_start[urow]
+        cnt = jnp.where(resident, row_start[urow + 1] - start, 0)
+        return start, cnt
+    i = jnp.searchsorted(row_ids, urow)
+    i = jnp.minimum(i, row_ids.shape[0] - 1).astype(jnp.int32)
+    found = resident & (row_ids[i] == urow)
+    start = row_start[i]
+    cnt = jnp.where(found, row_start[i + 1] - start, 0)
+    return start, cnt
+
+
 class QueryEngine:
     """dist/place probe + leaf-level ML over one DeviceIndex."""
 
@@ -53,7 +72,10 @@ class QueryEngine:
         self._sev = jnp.asarray(dindex.se_v)
         self._enc_se = jnp.asarray(np.stack(
             [dindex.enc_v, dindex.se_v.astype(np.uint32)], axis=1))
-        self._row_start = jnp.asarray(dindex.row_start.astype(np.int32))
+        self._row_start = jnp.asarray(dindex.row_start.astype(
+            np.int32 if dindex.row_start[-1] < 2**31 else np.int64))
+        self._row_ids = (None if dindex.row_ids is None
+                         else jnp.asarray(dindex.row_ids.astype(np.int32)))
         self._mask = jnp.asarray(dindex.se_mask)
         self._resident = jnp.asarray(dindex.resident)
         self._rank = jnp.asarray(dindex.res_rank.astype(np.int32))
@@ -75,9 +97,7 @@ class QueryEngine:
         rank = self._rank[rmod]
         urow = (rix // jnp.uint32(m)).astype(jnp.int32) * R + jnp.maximum(rank, 0)
         urow = jnp.where(resident, urow, 0)
-        start = self._row_start[urow]
-        cnt = jnp.where(resident, self._row_start[urow + 1] - start, 0)
-        return start, cnt
+        return _csr_bucket_slices(self._row_start, self._row_ids, urow, resident)
 
     def _strand_probe(self, rix, res, valid, exact: bool = False):
         start, cnt = self._bucket_slices(rix, valid)
@@ -320,7 +340,10 @@ class SeekEngine:
         self.th = int(hdist_th)
         self.lsh = sketch.lsh
         self._enc = jnp.asarray(sketch.enc_v)
-        self._row_start = jnp.asarray(sketch.row_start.astype(np.int32))
+        self._row_start = jnp.asarray(sketch.row_start.astype(
+            np.int32 if sketch.row_start[-1] < 2**31 else np.int64))
+        self._row_ids = (None if sketch.row_ids is None
+                         else jnp.asarray(sketch.row_ids.astype(np.int32)))
         self._resident = jnp.asarray(sketch.resident)
         self._rank = jnp.asarray(sketch.res_rank.astype(np.int32))
         self._llh = make_llh(self.lsh.k, self.lsh.h, self.th)
@@ -334,8 +357,8 @@ class SeekEngine:
         urow = (rix // jnp.uint32(m)).astype(jnp.int32) * R + \
             jnp.maximum(self._rank[rmod], 0)
         urow = jnp.where(resident, urow, 0)
-        start = self._row_start[urow]
-        cnt = jnp.where(resident, self._row_start[urow + 1] - start, 0)
+        start, cnt = _csr_bucket_slices(self._row_start, self._row_ids, urow,
+                                        resident)
         return scan_buckets_min(self._enc, start, cnt, res, self.th,
                                 self.sk.max_bucket)
 
