@@ -45,6 +45,12 @@ class ShardedQueryEngine(QueryEngine):
         super().__init__(dindex, hdist_th)
         self._probe_jit = jax.jit(self._sharded_probe)
 
+    def _init_tables(self, dindex: DeviceIndex) -> None:
+        """The probe reads the shard-placed arrays; no single-device table."""
+        self.mode = "sharded"
+        self._tables = ()
+        self._mask = jnp.asarray(dindex.se_mask)
+
     def _build_shards(self, di: DeviceIndex) -> None:
         if di.row_ids is not None:
             raise NotImplementedError(
@@ -84,10 +90,9 @@ class ShardedQueryEngine(QueryEngine):
         m = self.lsh.m
         R = self.di.R
         rps = self.rows_per_shard
-        rmod = (rix % jnp.uint32(m)).astype(jnp.int32)
-        resident = self._resident[rmod] & valid
-        urow = (rix // jnp.uint32(m)).astype(jnp.int32) * R + \
-            jnp.maximum(self._rank[rmod], 0)
+        resident, rank = self._residue_maps(rix)
+        resident = resident & valid
+        urow = (rix // jnp.uint32(m)).astype(jnp.int32) * R + rank
         mine = resident & (urow >= shard_id * rps) & (urow < (shard_id + 1) * rps)
         lrow = jnp.where(mine, urow - shard_id * rps, 0)
         start = rowstart_s[lrow]
@@ -100,7 +105,8 @@ class ShardedQueryEngine(QueryEngine):
         return probe_strand(enc_se_s, self._mask, self._expand, start, cnt,
                             res, self.th, self.W, self.S, self.di.max_bucket)
 
-    def _probe_dispatch(self, codes, lengths, exact: bool = False):
+    def _probe_dispatch(self, tables, codes, lengths, exact: bool = False):
+        del tables  # shard-placed arrays are used instead
         return self._sharded_probe(codes, lengths, exact)
 
     def _sharded_probe(self, codes, lengths, exact: bool = False):

@@ -59,8 +59,29 @@ def _csr_bucket_slices(row_start, row_ids, urow, resident):
     return start, cnt
 
 
+# Bucket-row probe applies when every bucket fits this many slots; beyond it
+# the CSR scan path runs (the row table would also stop paying off).
+DIRECT_CAP = 16
+# HBM budget for the bucket-row table (nrows_u * C0 * (1+W) u32 words).
+DIRECT_MEM_CAP = 2 << 30
+
+
 class QueryEngine:
-    """dist/place probe + leaf-level ML over one DeviceIndex."""
+    """dist/place probe + leaf-level ML over one DeviceIndex.
+
+    Probe layouts (chosen at init):
+      * 'direct' — one dense [nrows_u, C0*(1+W)] u32 bucket-row table with
+        the per-color leaf bitmask embedded next to each residual; a probe
+        is ONE row gather (the dominant cost on the TPU runtime is the
+        per-gather dispatch, nearly independent of row width) followed by
+        pure elementwise work. Applies when max_bucket <= DIRECT_CAP.
+      * 'csr' — flat entry array + offset CSR with a bounded scan loop and
+        a top-k heavy tail (deep buckets or sparse row spaces).
+
+    All large index arrays are passed to the jitted programs as arguments
+    (never closure constants): constants are serialized into the remote
+    compile payload, which is both slow and size-capped.
+    """
 
     def __init__(self, dindex: DeviceIndex, hdist_th: int = 4):
         self.di = dindex
@@ -68,49 +89,165 @@ class QueryEngine:
         self.lsh = dindex.lsh
         self.S = dindex.nleafslots
         self.W = dindex.se_mask.shape[1]
-        self._enc = jnp.asarray(dindex.enc_v)
-        self._sev = jnp.asarray(dindex.se_v)
-        self._enc_se = jnp.asarray(np.stack(
-            [dindex.enc_v, dindex.se_v.astype(np.uint32)], axis=1))
-        self._row_start = jnp.asarray(dindex.row_start.astype(
-            np.int32 if dindex.row_start[-1] < 2**31 else np.int64))
-        self._row_ids = (None if dindex.row_ids is None
-                         else jnp.asarray(dindex.row_ids.astype(np.int32)))
-        self._mask = jnp.asarray(dindex.se_mask)
-        self._resident = jnp.asarray(dindex.resident)
-        self._rank = jnp.asarray(dindex.res_rank.astype(np.int32))
         self._rho_slot = jnp.asarray(dindex.rho_slot)
         self._expand = make_expander(self.S, self.W)
         self._llh = make_llh(self.lsh.k, self.lsh.h, self.th)
+        # residue -> (resident, rank) maps are tiny; applied as elementwise
+        # select chains (a gather, however small, costs a dispatch)
+        self._res_resident = [bool(b) for b in dindex.resident]
+        self._res_rank = [int(r) for r in dindex.res_rank]
+        self._init_tables(dindex)
         self._probe_jit = jax.jit(self._probe_impl)
         self._stage2_jit = jax.jit(self._stage2_impl)
         self._full_jit = jax.jit(self._full_impl)
         self._full_exact_jit = None  # compiled lazily on heavy-tail overflow
 
-    # ------------------------------------------------------------- stage 1
-    def _bucket_slices(self, rix, valid):
-        """LSH row -> (start, cnt) bucket slice per probe."""
-        m = self.lsh.m
-        R = self.di.R
-        rmod = (rix % jnp.uint32(m)).astype(jnp.int32)
-        resident = self._resident[rmod] & valid
-        rank = self._rank[rmod]
-        urow = (rix // jnp.uint32(m)).astype(jnp.int32) * R + jnp.maximum(rank, 0)
-        urow = jnp.where(resident, urow, 0)
-        return _csr_bucket_slices(self._row_start, self._row_ids, urow, resident)
+    # --------------------------------------------------------- table builds
+    def _init_tables(self, dindex: DeviceIndex) -> None:
+        """Choose the probe layout and place its arrays on device.
 
-    def _strand_probe(self, rix, res, valid, exact: bool = False):
-        start, cnt = self._bucket_slices(rix, valid)
+        Overridden by ShardedQueryEngine, which shards its own arrays."""
+        slots = self._build_direct_table(dindex)
+        if slots is not None:
+            self.mode = "direct"
+            self.C0 = max(1, dindex.max_bucket)
+            self._tables = (jnp.asarray(slots),)
+        else:
+            self.mode = "csr"
+            enc_se = np.stack(
+                [dindex.enc_v, dindex.se_v.astype(np.uint32)], axis=1)
+            row_start = dindex.row_start.astype(
+                np.int32 if dindex.row_start[-1] < 2**31 else np.int64)
+            row_ids = (None if dindex.row_ids is None
+                       else dindex.row_ids.astype(np.int32))
+            self._tables = (jnp.asarray(enc_se), jnp.asarray(row_start),
+                            None if row_ids is None else jnp.asarray(row_ids),
+                            jnp.asarray(dindex.se_mask))
+
+    def _build_direct_table(self, di: DeviceIndex):
+        """[nrows_u, C0*(1+W)] u32 bucket rows: (enc, mask...) per slot.
+
+        Empty slots carry mask == 0 (a real color always has >= 1 leaf), so
+        no separate count array is needed."""
+        if di.row_ids is not None or di.max_bucket > DIRECT_CAP:
+            return None
+        C0 = max(1, di.max_bucket)
+        W = self.W
+        width = C0 * (1 + W)
+        if di.nrows_u * width * 4 > DIRECT_MEM_CAP:
+            return None
+        counts = np.diff(di.row_start)
+        urow_of = np.repeat(np.arange(di.nrows_u, dtype=np.int64), counts)
+        j = (np.arange(len(di.enc_v), dtype=np.int64)
+             - np.repeat(di.row_start[:-1], counts))
+        slots = np.zeros((di.nrows_u, width), np.uint32)
+        col = (j * (1 + W)).astype(np.int64)
+        slots[urow_of, col] = di.enc_v
+        mask_rows = di.se_mask[di.se_v]
+        for wd in range(W):
+            slots[urow_of, col + 1 + wd] = mask_rows[:, wd]
+        return slots
+
+    # ------------------------------------------------- residue select chains
+    def _residue_maps(self, rix):
+        """rix [., ...] uint32 -> (resident bool, rank int32), gather-free."""
+        m = self.lsh.m
+        rmod = (rix % jnp.uint32(m)).astype(jnp.int32)
+        resident = jnp.zeros(rmod.shape, bool)
+        rank = jnp.zeros(rmod.shape, jnp.int32)
+        for r in range(m):
+            if self._res_resident[r]:
+                hit = rmod == r
+                resident = resident | hit
+                if self._res_rank[r] > 0:
+                    rank = jnp.where(hit, self._res_rank[r], rank)
+        return resident, rank
+
+    # ------------------------------------------------------------- stage 1
+    def _urow(self, rix, valid):
+        """Unified row + residency per probe, gather-free."""
+        resident, rank = self._residue_maps(rix)
+        resident = resident & valid
+        urow = (rix // jnp.uint32(self.lsh.m)).astype(jnp.int32) * self.di.R \
+            + rank
+        return jnp.where(resident, urow, 0), resident
+
+    def _bucket_slices_t(self, tables, rix, valid):
+        """LSH row -> (start, cnt) bucket slice per probe (CSR mode)."""
+        _, row_start, row_ids, _ = tables
+        urow, resident = self._urow(rix, valid)
+        return _csr_bucket_slices(row_start, row_ids, urow, resident)
+
+    def _strand_probe(self, tables, rix, res, valid, exact: bool = False):
+        enc_se, _, _, mask_tab = tables
+        start, cnt = self._bucket_slices_t(tables, rix, valid)
         if exact:
             hist, minall = probe_strand_full(
-                self._enc_se, self._mask, self._expand, start, cnt, res,
+                enc_se, mask_tab, self._expand, start, cnt, res,
                 self.th, self.W, self.S, self.di.max_bucket)
             return hist, minall, jnp.bool_(False)
-        return probe_strand(self._enc_se, self._mask, self._expand, start,
+        return probe_strand(enc_se, mask_tab, self._expand, start,
                             cnt, res, self.th, self.W, self.S,
                             self.di.max_bucket)
 
-    def _probe_impl(self, codes, lengths, exact: bool = False):
+    def _strand_hashes(self, codes, lengths):
+        lsh = self.lsh
+        k = lsh.k
+        P = codes.shape[1] - k + 1
+        t_idx = jnp.arange(P, dtype=jnp.int32)
+        valid = codec.window_valid(codes, k) & \
+            (t_idx[None, :] <= lengths[:, None] - k)
+        onmers = jnp.sum(valid, axis=1, dtype=jnp.int32)
+        rix2 = jnp.stack([codec.lsh_hash_or(codes, lsh),
+                          codec.lsh_hash_rc(codes, lsh)])
+        res2 = jnp.stack([codec.residual_or(codes, lsh),
+                          codec.residual_rc(codes, lsh)])
+        return rix2, res2, valid, onmers
+
+    def _probe_direct(self, tables, codes, lengths):
+        """Bucket-row probe: one gather + elementwise epilogue, always exact.
+
+        Semantics identical to the CSR scan: per-(read, position, leaf)
+        minimum Hamming distance histogram (ref: src/query.hpp:153-176)."""
+        (slots,) = tables
+        th, W, S, C0 = self.th, self.W, self.S, self.C0
+        X = th + 1
+        rix2, res2, valid, onmers = self._strand_hashes(codes, lengths)
+        urow, resident = self._urow(rix2, valid[None])
+        ent = slots[urow]                                # [2, B, P, C0*(1+W)]
+        ent = ent.reshape(ent.shape[:-1] + (C0, 1 + W))
+        enc = ent[..., 0]
+        msk = ent[..., 1:]                               # [2, B, P, C0, W]
+        has = jnp.zeros(enc.shape, bool)
+        for wd in range(W):
+            has = has | (msk[..., wd] != 0)
+        hd = codec.hdist_lr32(enc, res2[..., None])
+        match = has & (hd <= th) & resident[..., None]
+        gmin = jnp.min(jnp.where(match, hd, HD_SENTINEL), axis=-1)
+        minall = jnp.min(gmin, axis=-1)                  # [2, B]
+
+        seen = None
+        hists = []
+        for x in range(X):
+            hit = match & (hd == x)
+            plane = jnp.zeros(enc.shape[:-1] + (W,), jnp.uint32)
+            for c in range(C0):
+                plane = plane | jnp.where(hit[..., c, None], msk[..., c, :], 0)
+            bits = self._expand(plane)                   # [2, B, P, S]
+            if seen is None:
+                new = bits
+                seen = bits
+            else:
+                new = bits & (seen ^ jnp.uint32(1))
+                seen = seen | bits
+            hists.append(jnp.sum(new.astype(jnp.int32), axis=2))
+        hist = jnp.stack(hists, axis=-1)                 # [2, B, S, X]
+        return (hist[0], hist[1], minall[0], minall[1], onmers,
+                jnp.bool_(False))
+
+    def _probe_impl(self, tables, codes, lengths, exact: bool = False):
+        if self.mode == "direct":
+            return self._probe_direct(tables, codes, lengths)
         lsh = self.lsh
         k = lsh.k
         B, L = codes.shape
@@ -124,8 +261,10 @@ class QueryEngine:
         rix_rc = codec.lsh_hash_rc(codes, lsh)
         res_rc = codec.residual_rc(codes, lsh)
 
-        hist_or, minall_or, ov1 = self._strand_probe(rix_or, res_or, valid, exact)
-        hist_rc, minall_rc, ov2 = self._strand_probe(rix_rc, res_rc, valid, exact)
+        hist_or, minall_or, ov1 = self._strand_probe(tables, rix_or, res_or,
+                                                     valid, exact)
+        hist_rc, minall_rc, ov2 = self._strand_probe(tables, rix_rc, res_rc,
+                                                     valid, exact)
         return hist_or, hist_rc, minall_or, minall_rc, onmers, ov1 | ov2
 
     # ------------------------------------------------------------- stage 2
@@ -238,13 +377,14 @@ class QueryEngine:
         return (present, hist_f, d_f, v_f, mc_f, uc_f, rho,
                 best_slot, best_d, hist_c, uc_c, rho_c, v_c, ratio)
 
-    def _probe_dispatch(self, codes, lengths, exact: bool = False):
+    def _probe_dispatch(self, tables, codes, lengths, exact: bool = False):
         """Overridden by ShardedQueryEngine (resolved at trace time)."""
-        return self._probe_impl(codes, lengths, exact)
+        return self._probe_impl(tables, codes, lengths, exact)
 
-    def _full_impl(self, codes, lengths, leaf_ok, exact: bool = False):
+    def _full_impl(self, tables, codes, lengths, leaf_ok,
+                   exact: bool = False):
         """Fused probe + stage 2 (single dispatch)."""
-        probe_out = self._probe_dispatch(codes, lengths, exact)
+        probe_out = self._probe_dispatch(tables, codes, lengths, exact)
         out = self._stage2_impl(*probe_out[:5], leaf_ok)
         # append onmers + heavy-tail overflow flag
         return tuple(out) + (probe_out[4], probe_out[5])
@@ -256,8 +396,8 @@ class QueryEngine:
         blocking (for driver-level pipelining)."""
         if leaf_ok is None:
             leaf_ok = np.ones(self.S, bool)
-        return self._full_jit(jnp.asarray(codes), jnp.asarray(lengths),
-                              jnp.asarray(leaf_ok))
+        return self._full_jit(self._tables, jnp.asarray(codes),
+                              jnp.asarray(lengths), jnp.asarray(leaf_ok))
 
     def fetch_leaf_stage(self, dev_out, lengths: np.ndarray,
                          codes: Optional[np.ndarray] = None,
@@ -273,8 +413,8 @@ class QueryEngine:
                 functools.partial(self._full_impl, exact=True))
         if leaf_ok is None:
             leaf_ok = np.ones(self.S, bool)
-        return self._full_exact_jit(jnp.asarray(codes), jnp.asarray(lengths),
-                                    jnp.asarray(leaf_ok))
+        return self._full_exact_jit(self._tables, jnp.asarray(codes),
+                                    jnp.asarray(lengths), jnp.asarray(leaf_ok))
 
     def fetch_prefetched(self, fetched, lengths: np.ndarray,
                          codes: Optional[np.ndarray] = None,
@@ -333,36 +473,81 @@ class LeafResults:
 
 
 class SeekEngine:
-    """Single-target sketch search (ref: src/seek.cpp)."""
+    """Single-target sketch search (ref: src/seek.cpp).
+
+    Same probe layouts as QueryEngine: a [nrows_u, 1+C0] bucket-row table
+    (word 0 = count, then C0 residuals) when buckets are shallow, else the
+    CSR scan."""
 
     def __init__(self, sketch: DeviceSketch, hdist_th: int = 4):
         self.sk = sketch
         self.th = int(hdist_th)
         self.lsh = sketch.lsh
-        self._enc = jnp.asarray(sketch.enc_v)
-        self._row_start = jnp.asarray(sketch.row_start.astype(
-            np.int32 if sketch.row_start[-1] < 2**31 else np.int64))
-        self._row_ids = (None if sketch.row_ids is None
-                         else jnp.asarray(sketch.row_ids.astype(np.int32)))
-        self._resident = jnp.asarray(sketch.resident)
-        self._rank = jnp.asarray(sketch.res_rank.astype(np.int32))
+        self._res_resident = [bool(b) for b in sketch.resident]
+        self._res_rank = [int(r) for r in sketch.res_rank]
+        slots = self._build_direct_table(sketch)
+        if slots is not None:
+            self.mode = "direct"
+            self.C0 = max(1, sketch.max_bucket)
+            self._tables = (jnp.asarray(slots),)
+        else:
+            self.mode = "csr"
+            row_start = sketch.row_start.astype(
+                np.int32 if sketch.row_start[-1] < 2**31 else np.int64)
+            row_ids = (None if sketch.row_ids is None
+                       else sketch.row_ids.astype(np.int32))
+            self._tables = (jnp.asarray(sketch.enc_v), jnp.asarray(row_start),
+                            None if row_ids is None else jnp.asarray(row_ids))
         self._llh = make_llh(self.lsh.k, self.lsh.h, self.th)
         self._run_jit = jax.jit(self._run_impl)
 
-    def _strand_min(self, rix, res, valid):
+    def _build_direct_table(self, sk: DeviceSketch):
+        if sk.row_ids is not None or sk.max_bucket > DIRECT_CAP:
+            return None
+        C0 = max(1, sk.max_bucket)
+        if sk.nrows_u * (1 + C0) * 4 > DIRECT_MEM_CAP:
+            return None
+        counts = np.diff(sk.row_start)
+        urow_of = np.repeat(np.arange(sk.nrows_u, dtype=np.int64), counts)
+        j = (np.arange(len(sk.enc_v), dtype=np.int64)
+             - np.repeat(sk.row_start[:-1], counts))
+        slots = np.zeros((sk.nrows_u, 1 + C0), np.uint32)
+        slots[:, 0] = counts.astype(np.uint32)
+        slots[urow_of, 1 + j] = sk.enc_v
+        return slots
+
+    def _urow(self, rix, valid):
         m = self.lsh.m
-        R = self.sk.R
         rmod = (rix % jnp.uint32(m)).astype(jnp.int32)
-        resident = self._resident[rmod] & valid
-        urow = (rix // jnp.uint32(m)).astype(jnp.int32) * R + \
-            jnp.maximum(self._rank[rmod], 0)
-        urow = jnp.where(resident, urow, 0)
-        start, cnt = _csr_bucket_slices(self._row_start, self._row_ids, urow,
-                                        resident)
-        return scan_buckets_min(self._enc, start, cnt, res, self.th,
+        resident = jnp.zeros(rmod.shape, bool)
+        rank = jnp.zeros(rmod.shape, jnp.int32)
+        for r in range(m):
+            if self._res_resident[r]:
+                hit = rmod == r
+                resident = resident | hit
+                if self._res_rank[r] > 0:
+                    rank = jnp.where(hit, self._res_rank[r], rank)
+        resident = resident & valid
+        urow = (rix // jnp.uint32(m)).astype(jnp.int32) * self.sk.R + rank
+        return jnp.where(resident, urow, 0), resident
+
+    def _strand_min(self, tables, rix, res, valid):
+        urow, resident = self._urow(rix, valid)
+        if self.mode == "direct":
+            (slots,) = tables
+            ent = slots[urow]                       # [B, P, 1+C0]
+            cnt = ent[..., 0].astype(jnp.int32)
+            hd = codec.hdist_lr32(ent[..., 1:], res[..., None])
+            j = jax.lax.broadcasted_iota(jnp.int32, hd.shape, hd.ndim - 1)
+            match = resident[..., None] & (j < cnt[..., None]) & (hd <= self.th)
+            gmin = jnp.min(jnp.where(match, hd, HD_SENTINEL), axis=-1)
+            return jnp.where(gmin <= self.th, gmin, HD_SENTINEL)
+        enc_v, row_start, row_ids = tables
+        start, cnt = _csr_bucket_slices(row_start, row_ids, urow, resident)
+        return scan_buckets_min(enc_v, start, cnt, res, self.th,
                                 self.sk.max_bucket)
 
-    def _run_impl(self, codes, lengths):
+    def _run_impl(self, tables, codes, lengths):
         lsh = self.lsh
         k = lsh.k
         B, L = codes.shape
@@ -376,7 +561,7 @@ class SeekEngine:
         outs = []
         for rix, res in ((codec.lsh_hash_or(codes, lsh), codec.residual_or(codes, lsh)),
                          (codec.lsh_hash_rc(codes, lsh), codec.residual_rc(codes, lsh))):
-            gmin = self._strand_min(rix, res, valid)
+            gmin = self._strand_min(tables, rix, res, valid)
             onehot = (gmin[..., None] == xs[None, None, :])
             hist = jnp.sum(onehot, axis=1).astype(F)          # [B, th+1]
             matchc = jnp.sum(hist, axis=-1)
@@ -394,5 +579,6 @@ class SeekEngine:
         return has, d
 
     def run(self, codes: np.ndarray, lengths: np.ndarray):
-        has, d = self._run_jit(jnp.asarray(codes), jnp.asarray(lengths))
+        has, d = self._run_jit(self._tables, jnp.asarray(codes),
+                               jnp.asarray(lengths))
         return jax.device_get((has, d))

@@ -98,7 +98,7 @@ def main():
 
     probe = jax.jit(engine._probe_impl)
     t0 = time.time()
-    pout = probe(codes, lengths)
+    pout = probe(engine._tables, codes, lengths)
     jax.block_until_ready(pout)
     print(f"[prof] probe compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
 
@@ -109,14 +109,16 @@ def main():
     print(f"[prof] stage2 compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    fout = engine._full_jit(codes, lengths, leaf_ok)
+    fout = engine._full_jit(engine._tables, codes, lengths, leaf_ok)
     jax.block_until_ready(fout)
     print(f"[prof] full compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    tp_min, tp_med = timeit(lambda c: probe(c, lengths), args.iters, codes)
-    t2_min, t2_med = timeit(lambda *a: stage2(*a, leaf_ok), args.iters, *pout[:5])
-    tf_min, tf_med = timeit(lambda c: engine._full_jit(c, lengths, leaf_ok),
+    tp_min, tp_med = timeit(lambda c: probe(engine._tables, c, lengths),
                             args.iters, codes)
+    t2_min, t2_med = timeit(lambda *a: stage2(*a, leaf_ok), args.iters, *pout[:5])
+    tf_min, tf_med = timeit(
+        lambda c: engine._full_jit(engine._tables, c, lengths, leaf_ok),
+        args.iters, codes)
 
     # Brent alone at the compacted lane count used in production
     from krepp_tpu.core.llh import brent_on_mask
