@@ -88,8 +88,13 @@ def run_bench(n_batches: int, batch: int = 4096, seed: int = 7,
     batches = [codes[i * batch:(i + 1) * batch] for i in range(n_batches + 2)]
 
     # warmup / compile
-    lr = engine.run_leaf_stage(batches[0], lengths)
-    lr = engine.run_leaf_stage(batches[1], lengths)
+    def one(batch):
+        return engine.fetch_leaf_stage(
+            engine.run_leaf_stage_async(batch, lengths, out_mode="dist"),
+            lengths, out_mode="dist")
+
+    lr = one(batches[0])
+    lr = one(batches[1])
     print(f"[bench] warmup done; present frac "
           f"{lr.present.any(axis=1).mean():.2f}", file=sys.stderr)
 
@@ -102,11 +107,12 @@ def run_bench(n_batches: int, batch: int = 4096, seed: int = 7,
     pending = deque()
     for i in range(2, n_batches + 2):
         pending.append(engine.run_leaf_stage_async(batches[i], lengths,
-                                                   leaf_ok))
+                                                   leaf_ok, out_mode="dist"))
         if len(pending) >= 3:
-            engine.fetch_leaf_stage(pending.popleft(), lengths)
+            engine.fetch_leaf_stage(pending.popleft(), lengths,
+                                    out_mode="dist")
     while pending:
-        engine.fetch_leaf_stage(pending.popleft(), lengths)
+        engine.fetch_leaf_stage(pending.popleft(), lengths, out_mode="dist")
     elapsed = time.time() - t0
     reads_per_s = batch * n_batches / elapsed
     print(f"[bench] {batch * n_batches} reads in {elapsed:.2f}s pipelined -> "

@@ -104,6 +104,44 @@ def make_llh(k: int, h: int, hdist_th: int):
     return llh
 
 
+def make_llh_np(k: int, h: int, hdist_th: int):
+    """Host (numpy f64) mirror of make_llh with the identical accumulation
+    order — used to compute report-only quantities (e.g. the chi-square
+    ratio) on the host instead of fetching them over the device link."""
+    binom_k, binom_hnk = binom_tables(k, h, hdist_th)
+
+    def ipow(x, n: int):
+        acc = None
+        base = x
+        while n:
+            if n & 1:
+                acc = base.copy() if acc is None else acc * base
+            base = base * base
+            n >>= 1
+        return acc if acc is not None else np.ones_like(x)
+
+    def llh(d, hist, uc, rho):
+        d = np.asarray(d, np.float64)
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            powdc = ipow(1.0 - d, k)
+            logdn = np.log(1.0 - d)
+            logdp = np.log(d) - logdn
+            logdn = logdn * float(k)
+            dratio = d / (1.0 - d)
+            s = np.zeros_like(d)
+            lv_m = np.zeros_like(d)
+            for x in range(k + 1):
+                if x <= hdist_th:
+                    s = s - (logdn + float(x) * logdp) * hist[..., x]
+                    lv_m = lv_m + binom_hnk[x] * powdc
+                else:
+                    lv_m = lv_m + powdc * binom_k[x]
+                powdc = powdc * dratio
+            return s - np.log(rho * lv_m + 1.0 - rho) * uc
+
+    return llh
+
+
 def brent_find_minima(f, batch_shape, lo: float = _BRENT_LO, hi: float = _BRENT_HI,
                       max_iter: int = _MAX_ITER):
     """Batched boost-style Brent minimisation of f over [lo, hi].

@@ -60,16 +60,23 @@ def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
 
     pending = deque()
 
+    # the chi-square ratio is only consulted by summarize / --filter modes;
+    # it is recomputed host-side from the closest-candidate summary
+    need_ratio = cfg.summarize or not cfg.no_filter
+
     def flush_one():
         names_b, lengths_b, codes_b, dev = pending.popleft()
-        lr = engine.fetch_leaf_stage(dev, lengths_b, codes=codes_b)
+        lr = engine.fetch_leaf_stage(dev, lengths_b, codes=codes_b,
+                                     out_mode="dist")
+        if need_ratio:
+            lr.ratio = engine.compute_ratio_host(lr)
         _report_batch(lr, names_b, leaf_names, cfg, out, wcount)
 
     for names, seqs in QueryBatcher(query_path, bp_limit=cfg.batch_bp):
         total += len(names)
         codes, lengths = pad_codes_batch(
             seqs, pad_to=_bucket_len(max(len(s) for s in seqs)))
-        dev = engine.run_leaf_stage_async(codes, lengths)
+        dev = engine.run_leaf_stage_async(codes, lengths, out_mode="dist")
         pending.append((names, lengths, codes, dev))
         if len(pending) >= 3:
             flush_one()

@@ -99,8 +99,7 @@ class QueryEngine:
         self._init_tables(dindex)
         self._probe_jit = jax.jit(self._probe_impl)
         self._stage2_jit = jax.jit(self._stage2_impl)
-        self._full_jit = jax.jit(self._full_impl)
-        self._full_exact_jit = None  # compiled lazily on heavy-tail overflow
+        self._full_jits = {}
 
     # --------------------------------------------------------- table builds
     def _init_tables(self, dindex: DeviceIndex) -> None:
@@ -382,52 +381,85 @@ class QueryEngine:
         return self._probe_impl(tables, codes, lengths, exact)
 
     def _full_impl(self, tables, codes, lengths, leaf_ok,
-                   exact: bool = False):
-        """Fused probe + stage 2 (single dispatch)."""
+                   exact: bool = False, out_mode: str = "full"):
+        """Fused probe + stage 2 (single dispatch).
+
+        out_mode selects the OUTPUT SET, which defines what the program
+        computes (XLA prunes dead values) and — critically on the
+        remote-attached TPU — what is streamed back over the ~30 MB/s
+        device link. "dist" returns only what report_distances consumes
+        (the chi-square ratio is recomputed on the host from the closest-
+        candidate summary); "full" returns the complete per-leaf state.
+        """
         probe_out = self._probe_dispatch(tables, codes, lengths, exact)
         out = self._stage2_impl(*probe_out[:5], leaf_ok)
-        # append onmers + heavy-tail overflow flag
-        return tuple(out) + (probe_out[4], probe_out[5])
+        onmers, overflow = probe_out[4], probe_out[5]
+        if out_mode == "dist":
+            (present, _hist, d_f, _v, _mc, _uc, _rho, best_slot, best_d,
+             hist_c, uc_c, rho_c, v_c, _ratio) = out
+            return (present, d_f, best_slot, best_d, hist_c, uc_c, rho_c,
+                    v_c, onmers, overflow)
+        return tuple(out) + (onmers, overflow)
 
     # -------------------------------------------------------------- public
+    def _get_full_jit(self, out_mode: str, exact: bool = False):
+        key = (out_mode, exact)
+        if not hasattr(self, "_full_jits"):
+            self._full_jits = {}
+        if key not in self._full_jits:
+            self._full_jits[key] = jax.jit(functools.partial(
+                self._full_impl, exact=exact, out_mode=out_mode))
+        return self._full_jits[key]
+
     def run_leaf_stage_async(self, codes: np.ndarray, lengths: np.ndarray,
-                             leaf_ok: Optional[np.ndarray] = None):
+                             leaf_ok: Optional[np.ndarray] = None,
+                             out_mode: str = "full"):
         """Dispatch the fused step; returns the device output tuple without
         blocking (for driver-level pipelining)."""
         if leaf_ok is None:
             leaf_ok = np.ones(self.S, bool)
-        return self._full_jit(self._tables, jnp.asarray(codes),
-                              jnp.asarray(lengths), jnp.asarray(leaf_ok))
+        return self._get_full_jit(out_mode)(
+            self._tables, jnp.asarray(codes), jnp.asarray(lengths),
+            jnp.asarray(leaf_ok))
 
     def fetch_leaf_stage(self, dev_out, lengths: np.ndarray,
                          codes: Optional[np.ndarray] = None,
-                         leaf_ok: Optional[np.ndarray] = None) -> "LeafResults":
+                         leaf_ok: Optional[np.ndarray] = None,
+                         out_mode: str = "full") -> "LeafResults":
         """One batched device_get of a run_leaf_stage_async result."""
         return self.fetch_prefetched(jax.device_get(tuple(dev_out)), lengths,
-                                     codes=codes, leaf_ok=leaf_ok)
+                                     codes=codes, leaf_ok=leaf_ok,
+                                     out_mode=out_mode)
 
-    def run_exact(self, codes, lengths, leaf_ok):
+    def run_exact(self, codes, lengths, leaf_ok, out_mode: str = "full"):
         """Exact full-depth scan (heavy-tail overflow fallback)."""
-        if self._full_exact_jit is None:
-            self._full_exact_jit = jax.jit(
-                functools.partial(self._full_impl, exact=True))
         if leaf_ok is None:
             leaf_ok = np.ones(self.S, bool)
-        return self._full_exact_jit(self._tables, jnp.asarray(codes),
-                                    jnp.asarray(lengths), jnp.asarray(leaf_ok))
+        return self._get_full_jit(out_mode, exact=True)(
+            self._tables, jnp.asarray(codes), jnp.asarray(lengths),
+            jnp.asarray(leaf_ok))
 
     def fetch_prefetched(self, fetched, lengths: np.ndarray,
                          codes: Optional[np.ndarray] = None,
-                         leaf_ok: Optional[np.ndarray] = None) -> "LeafResults":
+                         leaf_ok: Optional[np.ndarray] = None,
+                         out_mode: str = "full") -> "LeafResults":
         """Build LeafResults from an already-device_get'ed output tuple."""
         overflow = bool(np.any(np.asarray(fetched[-1])))
         if overflow:
             # heavy-tail overflow (astronomically skewed batch): recompute
             # this batch with the exact full-depth scan
             assert codes is not None, "overflow fallback needs the batch codes"
-            fetched = jax.device_get(tuple(self.run_exact(codes, lengths,
-                                                          leaf_ok)))
+            fetched = jax.device_get(tuple(self.run_exact(
+                codes, lengths, leaf_ok, out_mode=out_mode)))
         fetched = fetched[:-1]
+        if out_mode == "dist":
+            (present, d_f, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
+             onmers) = fetched
+            return LeafResults(
+                present=present, d=d_f, closest_slot=best_slot,
+                closest_d=best_d, hist_closest=hist_c, uc_closest=uc_c,
+                rho_closest=rho_c, v_closest=v_c, onmers=np.asarray(onmers),
+                lengths=np.asarray(lengths))
         (present, hist_f, d_f, v_f, mc_f, uc_f, rho, best_slot, best_d,
          hist_c, uc_c, rho_c, v_c, ratio) = fetched[:-1]
         onmers = fetched[-1]
@@ -437,6 +469,19 @@ class QueryEngine:
             hist_closest=hist_c, uc_closest=uc_c, rho_closest=rho_c,
             v_closest=v_c, ratio=ratio, onmers=np.asarray(onmers),
             lengths=np.asarray(lengths))
+
+    def compute_ratio_host(self, lr: "LeafResults") -> np.ndarray:
+        """Chi-square LRT of every leaf vs the closest, on the host
+        (ref: src/query.cpp:420-424). Identical accumulation order to the
+        device path; used with out_mode='dist' fetches."""
+        from ..core.llh import make_llh_np
+
+        if not hasattr(self, "_llh_np"):
+            self._llh_np = make_llh_np(self.lsh.k, self.lsh.h, self.th)
+        return 2.0 * (self._llh_np(lr.d, lr.hist_closest[:, None, :],
+                                   lr.uc_closest[:, None],
+                                   lr.rho_closest[:, None])
+                      - lr.v_closest[:, None])
 
     def run_leaf_stage(self, codes: np.ndarray, lengths: np.ndarray,
                        leaf_ok: Optional[np.ndarray] = None):
@@ -452,24 +497,27 @@ class QueryEngine:
 
 @dataclass
 class LeafResults:
-    """Strand-resolved per-(read, leaf-slot) match state = node_to_minfo."""
+    """Strand-resolved per-(read, leaf-slot) match state = node_to_minfo.
+
+    Fields not in the fetched out_mode are None (dist mode omits hist, v,
+    match, uc, rho and ratio; ratio is recomputed on host on demand)."""
 
     present: np.ndarray       # bool [B, S]
-    hist: np.ndarray          # int32 [B, S, th+1]
     d: np.ndarray             # f64 [B, S] (D_MAX where absent)
-    v: np.ndarray             # f64 [B, S]
-    match: np.ndarray         # int32 [B, S]
-    uc: np.ndarray            # f64 [B, S]
-    rho: np.ndarray           # f64 [B, S]
     closest_slot: np.ndarray  # int32 [B] (-1 if none)
     closest_d: np.ndarray     # f64 [B]
     hist_closest: np.ndarray  # f64 [B, th+1]
     uc_closest: np.ndarray    # f64 [B]
     rho_closest: np.ndarray   # f64 [B]
     v_closest: np.ndarray     # f64 [B]
-    ratio: np.ndarray         # f64 [B, S] chisq vs closest
     onmers: np.ndarray        # int32 [B]
     lengths: np.ndarray       # int32 [B]
+    hist: Optional[np.ndarray] = None    # int32 [B, S, th+1]
+    v: Optional[np.ndarray] = None       # f64 [B, S]
+    match: Optional[np.ndarray] = None   # int32 [B, S]
+    uc: Optional[np.ndarray] = None      # f64 [B, S]
+    rho: Optional[np.ndarray] = None     # f64 [B, S]
+    ratio: Optional[np.ndarray] = None   # f64 [B, S] chisq vs closest
 
 
 class SeekEngine:

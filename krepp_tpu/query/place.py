@@ -57,7 +57,7 @@ class PlaceAggregator:
         self._rho_slot = engine._rho_slot
         self._llh = engine._llh
         self._agg_jit = jax.jit(self._agg_impl)
-        self._agg_fused_jit = jax.jit(self._agg_fused)
+        self._place_jits = {}
 
     def _agg_impl(self, present, hist, match, d, v, uc, onmers, lengths,
                   hist_c, uc_c, rho_c, v_c):
@@ -109,15 +109,53 @@ class PlaceAggregator:
             jnp.asarray(lr.rho_closest), jnp.asarray(lr.v_closest))
         return jax.device_get(tuple(out))
 
-    def _agg_fused(self, dev_out, lengths):
-        """Stage 3 straight off the fused leaf-stage device tuple."""
-        (present, hist_f, d_f, v_f, mc_f, uc_f, rho, best_slot, best_d,
-         hist_c, uc_c, rho_c, v_c, ratio, onmers) = dev_out[:15]
-        return self._agg_impl(present, hist_f, mc_f, d_f, v_f, uc_f,
-                              onmers, lengths, hist_c, uc_c, rho_c, v_c)
+    def _place_impl(self, tables, codes, lengths, leaf_ok,
+                    exact: bool = False):
+        """Fused probe + stage 2 + placement aggregation, returning only
+        what the report pass consumes (the chi-square grid is recomputed on
+        the host from the closest-candidate summary; the device link is the
+        bottleneck, not the f64 math)."""
+        eng = self.engine
+        probe_out = eng._probe_dispatch(tables, codes, lengths, exact)
+        out = eng._stage2_impl(*probe_out[:5], leaf_ok)
+        (present, hist_f, d_f, v_f, mc_f, uc_f, _rho, best_slot, best_d,
+         hist_c, uc_c, rho_c, v_c, _ratio) = out
+        onmers, overflow = probe_out[4], probe_out[5]
+        (_hist_q, _uc_q, _rho_q, d_q, v_q, support, leq_tau, _chisq) = \
+            self._agg_impl(present, hist_f, mc_f, d_f, v_f, uc_f,
+                           onmers, lengths, hist_c, uc_c, rho_c, v_c)
+        return (present, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
+                d_q, v_q, support, leq_tau > 1.0, onmers, overflow)
 
-    def aggregate_async(self, dev_out, lengths: np.ndarray):
-        return self._agg_fused_jit(tuple(dev_out), jnp.asarray(lengths))
+    def run_place_async(self, codes, lengths, leaf_ok):
+        eng = self.engine
+        key = False
+        if key not in self._place_jits:
+            self._place_jits[key] = jax.jit(self._place_impl)
+        return self._place_jits[key](eng._tables, jnp.asarray(codes),
+                                     jnp.asarray(lengths),
+                                     jnp.asarray(leaf_ok))
+
+    def run_place_exact(self, codes, lengths, leaf_ok):
+        eng = self.engine
+        if True not in self._place_jits:
+            import functools
+
+            self._place_jits[True] = jax.jit(
+                functools.partial(self._place_impl, exact=True))
+        return self._place_jits[True](eng._tables, jnp.asarray(codes),
+                                      jnp.asarray(lengths),
+                                      jnp.asarray(leaf_ok))
+
+    def chisq_host(self, d_q, hist_c, uc_c, rho_c, v_c) -> np.ndarray:
+        """chisq_q = 2 (llh(d_q | closest) - v_closest) on host f64."""
+        from ..core.llh import make_llh_np
+
+        if not hasattr(self, "_llh_np"):
+            eng = self.engine
+            self._llh_np = make_llh_np(eng.lsh.k, eng.lsh.h, eng.th)
+        return 2.0 * (self._llh_np(d_q, hist_c[:, None, :], uc_c[:, None],
+                                   rho_c[:, None]) - v_c[:, None])
 
 
 def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
@@ -147,28 +185,30 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
 
     def flush_one():
         nonlocal has_previous
-        names_b, lengths_b, codes_b, dev, aggdev = pending.popleft()
-        fetched = jax.device_get(tuple(dev) + tuple(aggdev))
-        lr = engine.fetch_prefetched(fetched[: len(dev)], lengths_b,
-                                     codes=codes_b, leaf_ok=leaf_ok)
-        if bool(np.any(fetched[len(dev) - 1])):
-            # heavy-tail overflow: redo aggregation on the exact result too
-            dev2 = engine.run_exact(codes_b, lengths_b, leaf_ok)
-            aggdev = agg.aggregate_async(dev2, lengths_b)
-        hist_q, uc_q, rho_q, d_q, v_q, support, leq_tau, chisq_q = \
-            jax.device_get(tuple(aggdev)) if bool(np.any(fetched[len(dev) - 1])) \
-            else fetched[len(dev):]
+        names_b, lengths_b, codes_b, dev = pending.popleft()
+        fetched = jax.device_get(tuple(dev))
+        if bool(np.any(fetched[-1])):
+            # heavy-tail overflow: redo this batch with the exact scan
+            fetched = jax.device_get(tuple(agg.run_place_exact(
+                codes_b, lengths_b, leaf_ok)))
+        (present, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
+         d_q, v_q, support, leq_gt1, onmers, _ov) = fetched
+        lr = LeafResults(
+            present=present, d=None, closest_slot=best_slot,
+            closest_d=best_d, hist_closest=hist_c, uc_closest=uc_c,
+            rho_closest=rho_c, v_closest=v_c, onmers=np.asarray(onmers),
+            lengths=np.asarray(lengths_b))
+        chisq_q = agg.chisq_host(d_q, hist_c, uc_c, rho_c, v_c)
         has_previous = _report_batch(
             lr, names_b, pv, cfg, out, wcount, has_previous,
-            hist_q, d_q, v_q, support, leq_tau, chisq_q)
+            d_q, v_q, support, leq_gt1, chisq_q)
 
     for names, seqs in QueryBatcher(query_path, bp_limit=cfg.batch_bp):
         total += len(names)
         codes, lengths = pad_codes_batch(
             seqs, pad_to=_bucket_len(max(len(s) for s in seqs)))
-        dev = engine.run_leaf_stage_async(codes, lengths, leaf_ok=leaf_ok)
-        aggdev = agg.aggregate_async(dev, lengths)
-        pending.append((names, lengths, codes, dev, aggdev))
+        dev = agg.run_place_async(codes, lengths, leaf_ok)
+        pending.append((names, lengths, codes, dev))
         if len(pending) >= 3:
             flush_one()
     while pending:
@@ -192,7 +232,7 @@ def _jplace_row(qflat, q: int, d: float, v: float, lwr: float) -> str:
 def _report_batch(lr: LeafResults, names: List[str], pv: PlacementView,
                   cfg: PlaceConfig, out: TextIO, wcount: Dict[int, float],
                   has_previous: bool,
-                  hist_q, d_q, v_q, support, leq_tau, chisq_q) -> bool:
+                  d_q, v_q, support, leq_gt1, chisq_q) -> bool:
     """(ref: src/query.cpp:218-333)."""
     qflat = pv.qflat
     B = lr.present.shape[0]
@@ -223,7 +263,7 @@ def _report_batch(lr: LeafResults, names: List[str], pv: PlacementView,
         # candidate collection (ref: src/query.cpp:268-281)
         cand_mask = (support[b] & pv.candidate_ok
                      & (qflat.parent != 0))
-        cand_mask &= cfg.no_filter | (leq_tau[b] > 1.0)
+        cand_mask &= cfg.no_filter | leq_gt1[b]
         cand_mask &= chisq_q[b] < cfg.chisq_value
         cand = np.flatnonzero(cand_mask)
         lwr = np.exp(-chisq_q[b, cand] / 2.0)
