@@ -55,7 +55,7 @@ def ensure_index(cache: str, seed: int, nleaves: int, glen: int) -> None:
           file=sys.stderr)
 
 
-def run_bench(n_batches: int, batch: int = 4096, seed: int = 7,
+def run_bench(n_batches: int, batch: int = 16384, seed: int = 7,
               nleaves: int = 24, glen: int = 500_000):
     import jax
 
@@ -129,7 +129,7 @@ def main():
         print(json.dumps({"cpu_reads_per_s": v}))
         return
 
-    value = run_bench(n_batches=16)
+    value = run_bench(n_batches=8)
 
     vs_baseline = 1.0
     try:

@@ -104,6 +104,53 @@ def make_llh(k: int, h: int, hdist_th: int):
     return llh
 
 
+def make_llh_fast(k: int, h: int, hdist_th: int):
+    """Moment-form llh for the Brent inner loop: llh(d, A, Bx, uc, rho).
+
+    Mathematically identical to make_llh (ref: src/hdhistllh.hpp:71-89) but
+    O(th) instead of O(k) per evaluation:
+
+      * the histogram enters only through its moments A = sum_x hist[x] and
+        Bx = sum_x x*hist[x]  (s = -(k*log(1-d))*A - (log d - log(1-d))*Bx),
+        precomputed once per lane instead of re-read every iteration;
+      * the x > th tail of lv_m uses sum_x C(k,x) d^x (1-d)^(k-x) = 1, so
+        lv_m = sum_{x<=th} binom_hnk[x]*p_x + (1 - sum_{x<=th} binom_k[x]*p_x).
+
+    Accumulation order differs from the reference by O(1e-15) relative —
+    far below the 5-decimal output grid; the faithful make_llh remains the
+    one used for reported likelihood values.
+    """
+    binom_k, binom_hnk = binom_tables(k, h, hdist_th)
+
+    def ipow(x, n: int):
+        acc = None
+        base = x
+        while n:
+            if n & 1:
+                acc = base if acc is None else acc * base
+            base = base * base
+            n >>= 1
+        return acc if acc is not None else jnp.ones_like(x)
+
+    def llh(d, A, Bx, uc, rho):
+        d = d.astype(F)
+        powdc = ipow(1.0 - d, k)
+        logdn = jnp.log(1.0 - d)
+        logdp = jnp.log(d) - logdn
+        dratio = d / (1.0 - d)
+        lv_m = jnp.zeros_like(d)
+        ck = jnp.zeros_like(d)
+        for x in range(hdist_th + 1):
+            lv_m = lv_m + binom_hnk[x] * powdc
+            ck = ck + binom_k[x] * powdc
+            powdc = powdc * dratio
+        lv_m = lv_m + (1.0 - ck)
+        s = -(float(k) * logdn) * A - logdp * Bx
+        return s - jnp.log(rho * lv_m + 1.0 - rho) * uc
+
+    return llh
+
+
 def make_llh_np(k: int, h: int, hdist_th: int):
     """Host (numpy f64) mirror of make_llh with the identical accumulation
     order — used to compute report-only quantities (e.g. the chi-square
@@ -266,38 +313,51 @@ def make_optimizer(k: int, h: int, hdist_th: int):
     return optimize
 
 
-def brent_on_mask(llh, hist, uc, rho, mask, cap_divisor: int = 8):
-    """Batched Brent restricted to mask-selected lanes.
+def brent_on_mask(llh_fast, A, Bx, uc, rho, mask,
+                  cap_divisors=(32, 8)):
+    """Batched Brent restricted to mask-selected lanes (moment-form llh).
 
     At scale only a small fraction of (read, candidate) lanes carry matches;
     optimizing all of them wastes most of the (emulated) f64 work. Lanes are
-    compacted with lax.top_k; if more than the static capacity are live, an
-    exact dense fallback runs instead (lax.cond). Unselected lanes return
+    compacted with lax.top_k into the smallest capacity tier that fits
+    (N // divisor for each cap_divisor, then dense). Unselected lanes return
     d = 0.0, v = 0.0 — callers must gate on their own masks.
     """
     shape = uc.shape
     N = int(np.prod(shape))
-    X = hist.shape[-1]
-    histf = hist.reshape(N, X)
+    Af = A.reshape(N)
+    Bf = Bx.reshape(N)
     ucf = uc.reshape(N)
     rhof = rho.reshape(N)
     maskf = mask.reshape(N)
-    Kb = min(N, max(128, N // cap_divisor))
     nkeep = jnp.sum(maskf.astype(jnp.int32))
 
-    def compact(_):
-        _, idx = jax.lax.top_k(maskf.astype(jnp.int32), Kb)
-        h = histf[idx]
-        u = ucf[idx]
-        r = rhof[idx]
-        d, v = brent_find_minima(lambda dd: llh(dd, h, u, r), (Kb,))
-        D = jnp.zeros((N,), F).at[idx].set(d)
-        V = jnp.zeros((N,), F).at[idx].set(v)
-        return D, V
+    caps = []
+    for div in sorted(cap_divisors, reverse=True):
+        kb = min(N, max(128, N // div))
+        if kb < N and kb not in caps:
+            caps.append(kb)
+
+    def make_compact(Kb):
+        def compact(_):
+            _, idx = jax.lax.top_k(maskf.astype(jnp.int32), Kb)
+            a = Af[idx]
+            b = Bf[idx]
+            u = ucf[idx]
+            r = rhof[idx]
+            d, v = brent_find_minima(lambda dd: llh_fast(dd, a, b, u, r),
+                                     (Kb,))
+            D = jnp.zeros((N,), F).at[idx].set(d)
+            V = jnp.zeros((N,), F).at[idx].set(v)
+            return D, V
+        return compact
 
     def dense(_):
-        d, v = brent_find_minima(lambda dd: llh(dd, histf, ucf, rhof), (N,))
+        d, v = brent_find_minima(
+            lambda dd: llh_fast(dd, Af, Bf, ucf, rhof), (N,))
         return jnp.where(maskf, d, 0.0), jnp.where(maskf, v, 0.0)
 
-    D, V = jax.lax.cond(nkeep <= Kb, compact, dense, None)
+    branches = [make_compact(kb) for kb in caps] + [dense]
+    tier = jnp.searchsorted(jnp.asarray(caps, jnp.int32), nkeep)
+    D, V = jax.lax.switch(tier, branches, None)
     return D.reshape(shape), V.reshape(shape)

@@ -41,7 +41,7 @@ class DistConfig:
     summarize: bool = False
     # device batch granularity (output-neutral; the reference's 76.8 kbp
     # batches are too small to feed a TPU, ref: src/rqseq.hpp:10-11)
-    batch_bp: int = 4096 * 150
+    batch_bp: int = 16384 * 150
 
 
 def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,

@@ -33,7 +33,8 @@ import numpy as np
 from ..core import codec
 from .bucket_scan import (make_expander, probe_strand,
                           probe_strand_full, scan_buckets_min)
-from ..core.llh import make_llh, brent_find_minima, brent_on_mask, F
+from ..core.llh import (make_llh, make_llh_fast, brent_find_minima,
+                        brent_on_mask, F)
 from ..index.index import DeviceIndex, DeviceSketch
 
 HD_SENTINEL = 255          # "no match" Hamming distance marker
@@ -92,6 +93,7 @@ class QueryEngine:
         self._rho_slot = jnp.asarray(dindex.rho_slot)
         self._expand = make_expander(self.S, self.W)
         self._llh = make_llh(self.lsh.k, self.lsh.h, self.th)
+        self._llh_fast = make_llh_fast(self.lsh.k, self.lsh.h, self.th)
         # residue -> (resident, rank) maps are tiny; applied as elementwise
         # select chains (a gather, however small, costs a dispatch)
         self._res_resident = [bool(b) for b in dindex.resident]
@@ -299,11 +301,14 @@ class QueryEngine:
         uc_or = (onmers[:, None] - mc_or).astype(F)
         uc_rc = (onmers[:, None] - mc_rc).astype(F)
         rho = jnp.broadcast_to(self._rho_slot[None, :], (B, S)).astype(F)
-        hist2 = jnp.concatenate([hist_or.astype(F), hist_rc.astype(F)], axis=0)
+        bx_or = jnp.einsum("bsx,x->bs", hist_or.astype(F), xs.astype(F))
+        bx_rc = jnp.einsum("bsx,x->bs", hist_rc.astype(F), xs.astype(F))
+        A2 = jnp.concatenate([mc_or.astype(F), mc_rc.astype(F)], axis=0)
+        Bx2 = jnp.concatenate([bx_or, bx_rc], axis=0)
         uc2 = jnp.concatenate([uc_or, uc_rc], axis=0)
         rho2 = jnp.concatenate([rho, rho], axis=0)
         keep2 = jnp.concatenate([keep_or, keep_rc], axis=0)
-        d2, v2 = brent_on_mask(self._llh, hist2, uc2, rho2, keep2)
+        d2, v2 = brent_on_mask(self._llh_fast, A2, Bx2, uc2, rho2, keep2)
         d_or, d_rc = d2[:B], d2[B:]
         v_or, v_rc = v2[:B], v2[B:]
         d_or = jnp.where(keep_or, d_or, D_MAX)
@@ -547,6 +552,7 @@ class SeekEngine:
             self._tables = (jnp.asarray(sketch.enc_v), jnp.asarray(row_start),
                             None if row_ids is None else jnp.asarray(row_ids))
         self._llh = make_llh(self.lsh.k, self.lsh.h, self.th)
+        self._llh_fast = make_llh_fast(self.lsh.k, self.lsh.h, self.th)
         self._run_jit = jax.jit(self._run_impl)
 
     def _build_direct_table(self, sk: DeviceSketch):
@@ -613,11 +619,12 @@ class SeekEngine:
             onehot = (gmin[..., None] == xs[None, None, :])
             hist = jnp.sum(onehot, axis=1).astype(F)          # [B, th+1]
             matchc = jnp.sum(hist, axis=-1)
+            bx = jnp.einsum("bx,x->b", hist, xs.astype(F))
             uc = (onmers.astype(F) - matchc)
             rho = jnp.full((B,), self.sk.rho, F)
 
-            def f(d, hist=hist, uc=uc, rho=rho):
-                return self._llh(d, hist, uc, rho)
+            def f(d, a=matchc, b=bx, uc=uc, rho=rho):
+                return self._llh_fast(d, a, b, uc, rho)
 
             d, v = brent_find_minima(f, (B,))
             outs.append((matchc, d))

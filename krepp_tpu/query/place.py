@@ -35,7 +35,7 @@ class PlaceConfig:
     no_filter: bool = False
     summarize: bool = False
     tabular: bool = False
-    batch_bp: int = 4096 * 150
+    batch_bp: int = 16384 * 150
 
 
 class PlaceAggregator:
@@ -56,6 +56,7 @@ class PlaceAggregator:
         self._is_leaf_q = jnp.asarray(leaf_of_q >= 0)
         self._rho_slot = engine._rho_slot
         self._llh = engine._llh
+        self._llh_fast = engine._llh_fast
         self._agg_jit = jax.jit(self._agg_impl)
         self._place_jits = {}
 
@@ -90,7 +91,11 @@ class PlaceAggregator:
         # re-optimise internal candidates (ref: src/query.cpp:272-275);
         # only supported internal nodes need the (f64-emulated) solver
         need = support & jnp.logical_not(isl)
-        d_opt, v_opt = brent_on_mask(self._llh, hist_q, uc_q, rho_q, need)
+        xs = jnp.arange(hist_q.shape[-1], dtype=F)
+        A_q = jnp.sum(hist_q, axis=-1)
+        Bx_q = jnp.einsum("bqx,x->bq", hist_q, xs)
+        d_opt, v_opt = brent_on_mask(self._llh_fast, A_q, Bx_q, uc_q, rho_q,
+                                     need)
         d_q = jnp.where(isl, leaf_d, d_opt)
         v_q = jnp.where(isl, leaf_v, v_opt)
 
