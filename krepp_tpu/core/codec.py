@@ -73,6 +73,73 @@ def pad_codes_batch(code_list, pad_to: int | None = None) -> Tuple[np.ndarray, n
     return out, lengths
 
 
+def pack_codes_host(codes: np.ndarray, lengths: np.ndarray):
+    """[B, L] uint8 base codes -> (packed u32 [B, ceil(L/16)], vbits or None).
+
+    The device link is the throughput bottleneck on remotely-attached TPUs;
+    2-bit packing cuts the per-batch upload ~4x. vbits (one validity bit per
+    base) is returned only when some read contains a non-ACGT code inside
+    its length — for the common all-ACGT batch the per-read `lengths` alone
+    reconstruct validity.
+    """
+    B, L = codes.shape
+    W = (L + 15) // 16
+    c = np.where(codes < 4, codes, 0).astype(np.uint32)
+    cp = np.zeros((B, W * 16), np.uint32)
+    cp[:, :L] = c
+    cp = cp.reshape(B, W, 16)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    packed = np.bitwise_or.reduce(cp << shifts, axis=2)
+    inv = (codes >= 4) & (np.arange(L)[None, :] < np.asarray(lengths)[:, None])
+    if not bool(inv.any()):
+        return packed, None
+    v = (~inv).astype(np.uint32)
+    Wv = (L + 31) // 32
+    vp = np.zeros((B, Wv * 32), np.uint32)
+    vp[:, :L] = v
+    vp = vp.reshape(B, Wv, 32)
+    vshift = np.arange(32, dtype=np.uint32)[None, None, :]
+    vbits = np.bitwise_or.reduce(vp << vshift, axis=2)
+    return packed, vbits
+
+
+def unpack_codes(packed: jax.Array, lengths: jax.Array, L: int,
+                 vbits: jax.Array | None = None) -> jax.Array:
+    """Device-side inverse of pack_codes_host -> [B, L] uint8 codes.
+
+    Positions >= lengths (or with vbits == 0) decode to 4 (invalid)."""
+    B, W = packed.shape
+    shifts = jnp.asarray((2 * np.arange(16)).astype(np.uint32))
+    ex = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint32(3)
+    ex = ex.reshape(B, W * 16)[:, :L].astype(jnp.uint8)
+    pos = jnp.arange(L, dtype=jnp.int32)
+    ok = pos[None, :] < lengths[:, None]
+    if vbits is not None:
+        vshifts = jnp.asarray(np.arange(32).astype(np.uint32))
+        vb = (vbits[:, :, None] >> vshifts[None, None, :]) & jnp.uint32(1)
+        ok = ok & (vb.reshape(B, -1)[:, :L] == 1)
+    return jnp.where(ok, ex, jnp.uint8(4))
+
+
+def pack_bits_device(flags: jax.Array) -> jax.Array:
+    """bool [..., S] -> u32 [..., ceil(S/32)] bitmap (bit j of word w =
+    flag[w*32+j]); used to shrink per-read boolean fetches."""
+    S = flags.shape[-1]
+    Wp = (S + 31) // 32
+    pad = Wp * 32 - S
+    f = jnp.pad(flags, [(0, 0)] * (flags.ndim - 1) + [(0, pad)])
+    f = f.reshape(flags.shape[:-1] + (Wp, 32)).astype(jnp.uint32)
+    sh = jnp.asarray(np.arange(32).astype(np.uint32))
+    return jnp.sum(f << sh, axis=-1, dtype=jnp.uint32)
+
+
+def unpack_bits_host(words: np.ndarray, S: int) -> np.ndarray:
+    """Inverse of pack_bits_device on the host."""
+    w = np.asarray(words)
+    bits = (w[..., :, None] >> np.arange(32, dtype=np.uint32)) & 1
+    return bits.reshape(w.shape[:-1] + (-1,))[..., :S].astype(bool)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def window_valid(codes: jax.Array, k: int) -> jax.Array:
     """valid[..., t] = all of codes[..., t : t+k] are ACGT (code < 4).
@@ -152,6 +219,100 @@ def residual_rc(codes: jax.Array, lsh: LSHParams) -> jax.Array:
     high = _padded_window_sum_bits(codes, offs, [16 + r for r in range(nres)], k,
                                    low_bit=False, complement=True)
     return low + high
+
+
+@functools.partial(jax.jit, static_argnames=("lsh",))
+def strand_hashes_conv(codes: jax.Array, lsh: LSHParams):
+    """All per-window hash quantities as ONE MXU convolution.
+
+    Every LSH quantity is a weighted sum over a k-base window — i.e. a 1-D
+    convolution of the code channels with static integer weights. On TPU the
+    slice-sum formulation above costs ~100 separate fused-slice passes; a
+    single conv runs on the MXU in one pass over the codes.
+
+    Exactness: weights are split into 16-bit chunks, so every per-chunk
+    product/sum stays below 2^24 and is exact in f32 (precision=HIGHEST
+    forces full-f32-fidelity MXU passes); chunks recombine in int32.
+
+    Returns (rix_or, rix_rc, res_or, res_rc, valid), each [..., P], matching
+    lsh_hash_or/lsh_hash_rc/residual_or/residual_rc/window_valid bit-for-bit
+    on windows without N bases (invalid windows are masked by `valid`
+    everywhere downstream, exactly as with the slice formulation).
+    """
+    k, h = lsh.k, lsh.h
+    nres = len(lsh.npos)
+
+    # input channels: codes, low bit, high bit, is-invalid
+    c = codes.astype(jnp.float32)
+    c1 = (codes & 1).astype(jnp.float32)
+    c2 = (codes >> 1).astype(jnp.float32)
+    c3 = (codes >= 4).astype(jnp.float32)
+    x = jnp.stack([c, c1, c2, c3], axis=-2)          # [..., 4, L]
+
+    # output channel table: (in_channel, {offset: weight}) per 16-bit chunk
+    specs = []
+
+    def add_chunked(cin, terms):
+        """terms: list of (offset, weight). Returns list of channel ids with
+        their chunk shifts."""
+        out = []
+        for chunk in range(2):
+            wmap = {}
+            for off, wgt in terms:
+                part = (wgt >> (16 * chunk)) & 0xFFFF
+                if part:
+                    wmap[off] = wmap.get(off, 0) + part
+            if wmap:
+                specs.append((cin, wmap))
+                out.append((len(specs) - 1, 16 * chunk))
+        if not out:
+            specs.append((cin, {0: 0}))
+            out.append((len(specs) - 1, 0))
+        return out
+
+    ch_rix_or = add_chunked(0, [(k - 1 - p, 4 ** r)
+                                for r, p in enumerate(lsh.ppos)])
+    ch_rix_rc = add_chunked(0, [(p, 4 ** r) for r, p in enumerate(lsh.ppos)])
+    ch_lo_or = add_chunked(1, [(k - 1 - n, 1 << r)
+                               for r, n in enumerate(lsh.npos)])
+    ch_hi_or = add_chunked(2, [(k - 1 - n, 1 << r)
+                               for r, n in enumerate(lsh.npos)])
+    ch_lo_rc = add_chunked(1, [(n, 1 << r) for r, n in enumerate(lsh.npos)])
+    ch_hi_rc = add_chunked(2, [(n, 1 << r) for r, n in enumerate(lsh.npos)])
+    specs.append((3, {off: 1 for off in range(k)}))  # N-count for validity
+    ch_bad = len(specs) - 1
+
+    W = np.zeros((len(specs), 4, k), np.float32)
+    for o, (cin, wmap) in enumerate(specs):
+        for off, wgt in wmap.items():
+            W[o, cin, off] = wgt
+
+    lead = x.shape[:-2]
+    xin = x.reshape((-1,) + x.shape[-2:])
+    out = jax.lax.conv_general_dilated(
+        xin, jnp.asarray(W), window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)
+    out = out.reshape(lead + out.shape[-2:])          # [..., OutC, P]
+
+    def chunks_to_i32(chs):
+        acc = None
+        for idx, shift in chs:
+            v = out[..., idx, :].astype(jnp.int32) << shift
+            acc = v if acc is None else acc + v
+        return acc
+
+    rix_or = chunks_to_i32(ch_rix_or).astype(jnp.uint32)
+    rc_const = sum(3 * 4 ** r for r in range(h))
+    rix_rc = (jnp.int32(rc_const) - chunks_to_i32(ch_rix_rc)).astype(jnp.uint32)
+    res_or = (chunks_to_i32(ch_lo_or)
+              + (chunks_to_i32(ch_hi_or) << 16)).astype(jnp.uint32)
+    full = (1 << nres) - 1
+    res_rc = ((jnp.int32(full) - chunks_to_i32(ch_lo_rc))
+              + ((jnp.int32(full) - chunks_to_i32(ch_hi_rc)) << 16)
+              ).astype(jnp.uint32)
+    valid = out[..., ch_bad, :] == 0.0
+    return rix_or, rix_rc, res_or, res_rc, valid
 
 
 def _padded_window_sum(codes, offs, wgts, k, const: int = 0):

@@ -119,14 +119,13 @@ class ShardedQueryEngine(QueryEngine):
             B, L = codes_l.shape
             Pn = L - k + 1
             t_idx = jnp.arange(Pn, dtype=jnp.int32)
-            valid = codec.window_valid(codes_l, k) & \
-                (t_idx[None, :] <= lengths_l[:, None] - k)
+            rix_or, rix_rc, res_or, res_rc, valid_w = \
+                codec.strand_hashes_conv(codes_l, lsh)
+            valid = valid_w & (t_idx[None, :] <= lengths_l[:, None] - k)
             onmers = jnp.sum(valid, axis=1, dtype=jnp.int32)
             outs = []
             ov = jnp.bool_(False)
-            for rix, res in (
-                    (codec.lsh_hash_or(codes_l, lsh), codec.residual_or(codes_l, lsh)),
-                    (codec.lsh_hash_rc(codes_l, lsh), codec.residual_rc(codes_l, lsh))):
+            for rix, res in ((rix_or, res_or), (rix_rc, res_rc)):
                 hist, minall, o = self._shard_probe_one(
                     rix, res, valid, enc_se_s[0], rowstart_s[0], shard_id,
                     exact)

@@ -64,10 +64,12 @@ def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
     # it is recomputed host-side from the closest-candidate summary
     need_ratio = cfg.summarize or not cfg.no_filter
 
+    out_mode = "dist_ratio" if need_ratio else "dist"
+
     def flush_one():
         names_b, lengths_b, codes_b, dev = pending.popleft()
         lr = engine.fetch_leaf_stage(dev, lengths_b, codes=codes_b,
-                                     out_mode="dist")
+                                     out_mode=out_mode)
         if need_ratio:
             lr.ratio = engine.compute_ratio_host(lr)
         _report_batch(lr, names_b, leaf_names, cfg, out, wcount)
@@ -76,7 +78,7 @@ def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
         total += len(names)
         codes, lengths = pad_codes_batch(
             seqs, pad_to=_bucket_len(max(len(s) for s in seqs)))
-        dev = engine.run_leaf_stage_async(codes, lengths, out_mode="dist")
+        dev = engine.run_leaf_stage_async(codes, lengths, out_mode=out_mode)
         pending.append((names, lengths, codes, dev))
         if len(pending) >= 3:
             flush_one()

@@ -98,6 +98,15 @@ class QueryEngine:
         # select chains (a gather, however small, costs a dispatch)
         self._res_resident = [bool(b) for b in dindex.resident]
         self._res_rank = [int(r) for r in dindex.res_rank]
+        # the fused Pallas probe epilogue runs on real TPU backends; the XLA
+        # formulation is kept as the CPU / opt-out path (KREPP_NO_PALLAS=1)
+        import os
+
+        self._use_pallas = (jax.default_backend() != "cpu"
+                            and not os.environ.get("KREPP_NO_PALLAS"))
+        # tests flip _use_pallas on under the CPU backend; the kernel then
+        # runs in the Pallas interpreter with identical semantics
+        self._pallas_interpret = jax.default_backend() == "cpu"
         self._init_tables(dindex)
         self._probe_jit = jax.jit(self._probe_impl)
         self._stage2_jit = jax.jit(self._stage2_impl)
@@ -196,26 +205,46 @@ class QueryEngine:
         k = lsh.k
         P = codes.shape[1] - k + 1
         t_idx = jnp.arange(P, dtype=jnp.int32)
-        valid = codec.window_valid(codes, k) & \
-            (t_idx[None, :] <= lengths[:, None] - k)
+        rix_or, rix_rc, res_or, res_rc, valid_w = \
+            codec.strand_hashes_conv(codes, lsh)
+        valid = valid_w & (t_idx[None, :] <= lengths[:, None] - k)
         onmers = jnp.sum(valid, axis=1, dtype=jnp.int32)
-        rix2 = jnp.stack([codec.lsh_hash_or(codes, lsh),
-                          codec.lsh_hash_rc(codes, lsh)])
-        res2 = jnp.stack([codec.residual_or(codes, lsh),
-                          codec.residual_rc(codes, lsh)])
+        rix2 = jnp.stack([rix_or, rix_rc])
+        res2 = jnp.stack([res_or, res_rc])
         return rix2, res2, valid, onmers
 
     def _probe_direct(self, tables, codes, lengths):
-        """Bucket-row probe: one gather + elementwise epilogue, always exact.
+        """Bucket-row probe: one gather + fused epilogue, always exact.
 
         Semantics identical to the CSR scan: per-(read, position, leaf)
-        minimum Hamming distance histogram (ref: src/query.hpp:153-176)."""
+        minimum Hamming distance histogram (ref: src/query.hpp:153-176).
+        On TPU the epilogue runs as a Pallas kernel (everything after the
+        row gather stays in VMEM); the XLA formulation below is the CPU /
+        fallback path with identical outputs."""
         (slots,) = tables
         th, W, S, C0 = self.th, self.W, self.S, self.C0
         X = th + 1
         rix2, res2, valid, onmers = self._strand_hashes(codes, lengths)
         urow, resident = self._urow(rix2, valid[None])
         ent = slots[urow]                                # [2, B, P, C0*(1+W)]
+
+        if self._use_pallas:
+            from .pallas_kernels import probe_hist_tiles
+
+            B, P = codes.shape[0], ent.shape[2]
+            N = 2 * B
+            ent4 = ent.reshape(N, P, C0, 1 + W)
+            enc_g = jnp.transpose(ent4[..., 0], (0, 2, 1))      # [N, C0, P]
+            msk_g = jnp.concatenate(
+                [jnp.transpose(ent4[..., 1 + w], (0, 2, 1))
+                 for w in range(W)], axis=1)                    # [N, W*C0, P]
+            hist, minall = probe_hist_tiles(
+                enc_g, msk_g, res2.reshape(N, P), resident.reshape(N, P),
+                th, C0, W, S, interpret=self._pallas_interpret)
+            hist = hist.reshape(2, B, S, X)
+            minall = minall.reshape(2, B)
+            return (hist[0], hist[1], minall[0], minall[1], onmers,
+                    jnp.bool_(False))
         ent = ent.reshape(ent.shape[:-1] + (C0, 1 + W))
         enc = ent[..., 0]
         msk = ent[..., 1:]                               # [2, B, P, C0, W]
@@ -254,13 +283,10 @@ class QueryEngine:
         B, L = codes.shape
         P = L - k + 1
         t_idx = jnp.arange(P, dtype=jnp.int32)
-        valid = codec.window_valid(codes, k) & (t_idx[None, :] <= lengths[:, None] - k)
+        rix_or, rix_rc, res_or, res_rc, valid_w = \
+            codec.strand_hashes_conv(codes, lsh)
+        valid = valid_w & (t_idx[None, :] <= lengths[:, None] - k)
         onmers = jnp.sum(valid, axis=1, dtype=jnp.int32)
-
-        rix_or = codec.lsh_hash_or(codes, lsh)
-        res_or = codec.residual_or(codes, lsh)
-        rix_rc = codec.lsh_hash_rc(codes, lsh)
-        res_rc = codec.residual_rc(codes, lsh)
 
         hist_or, minall_or, ov1 = self._strand_probe(tables, rix_or, res_or,
                                                      valid, exact)
@@ -385,25 +411,41 @@ class QueryEngine:
         """Overridden by ShardedQueryEngine (resolved at trace time)."""
         return self._probe_impl(tables, codes, lengths, exact)
 
-    def _full_impl(self, tables, codes, lengths, leaf_ok,
+    def _full_impl(self, tables, packed, vbits, lengths, leaf_ok,
                    exact: bool = False, out_mode: str = "full"):
-        """Fused probe + stage 2 (single dispatch).
+        """Fused probe + stage 2 (single dispatch) over 2-bit-packed reads.
 
         out_mode selects the OUTPUT SET, which defines what the program
         computes (XLA prunes dead values) and — critically on the
         remote-attached TPU — what is streamed back over the ~30 MB/s
-        device link. "dist" returns only what report_distances consumes
-        (the chi-square ratio is recomputed on the host from the closest-
-        candidate summary); "full" returns the complete per-leaf state.
+        device link. "dist" returns a compacted tuple holding only what
+        report_distances consumes; "dist_ratio" adds the closest-candidate
+        summary for host-side chi-square recomputation; "full" returns the
+        complete per-leaf state.
         """
+        L = packed.shape[1] * 16
+        codes = codec.unpack_codes(packed, lengths, L, vbits)
         probe_out = self._probe_dispatch(tables, codes, lengths, exact)
         out = self._stage2_impl(*probe_out[:5], leaf_ok)
         onmers, overflow = probe_out[4], probe_out[5]
-        if out_mode == "dist":
-            (present, _hist, d_f, _v, _mc, _uc, _rho, best_slot, best_d,
-             hist_c, uc_c, rho_c, v_c, _ratio) = out
-            return (present, d_f, best_slot, best_d, hist_c, uc_c, rho_c,
-                    v_c, onmers, overflow)
+        if out_mode in ("dist", "dist_ratio"):
+            (present, _hist, d_f, _v, _mc, _uc, _rho, best_slot, _best_d,
+             hist_c, uc_c, _rho_c, v_c, _ratio) = out
+            B, S = present.shape
+            bits = codec.pack_bits_device(present)
+            # compact present-lane distances: lax.top_k on the 0/1 mask
+            # breaks ties by ascending index, so the first n entries are
+            # exactly np.flatnonzero(present) — no index fetch needed
+            K = min(B * S, max(8 * B, 1024))
+            pf = present.reshape(-1)
+            _, idx = jax.lax.top_k(pf.astype(jnp.int32), K)
+            dval = d_f.reshape(-1)[idx]
+            fetch_over = jnp.sum(pf.astype(jnp.int32)) > K
+            base = (bits, dval, best_slot.astype(jnp.int32))
+            if out_mode == "dist_ratio":
+                base = base + (hist_c.astype(jnp.int32),
+                               uc_c.astype(jnp.int32), v_c)
+            return base + (fetch_over, overflow)
         return tuple(out) + (onmers, overflow)
 
     # -------------------------------------------------------------- public
@@ -423,9 +465,12 @@ class QueryEngine:
         blocking (for driver-level pipelining)."""
         if leaf_ok is None:
             leaf_ok = np.ones(self.S, bool)
+        packed, vbits = codec.pack_codes_host(np.asarray(codes),
+                                              np.asarray(lengths))
         return self._get_full_jit(out_mode)(
-            self._tables, jnp.asarray(codes), jnp.asarray(lengths),
-            jnp.asarray(leaf_ok))
+            self._tables, jnp.asarray(packed),
+            None if vbits is None else jnp.asarray(vbits),
+            jnp.asarray(lengths), jnp.asarray(leaf_ok))
 
     def fetch_leaf_stage(self, dev_out, lengths: np.ndarray,
                          codes: Optional[np.ndarray] = None,
@@ -440,30 +485,60 @@ class QueryEngine:
         """Exact full-depth scan (heavy-tail overflow fallback)."""
         if leaf_ok is None:
             leaf_ok = np.ones(self.S, bool)
+        packed, vbits = codec.pack_codes_host(np.asarray(codes),
+                                              np.asarray(lengths))
         return self._get_full_jit(out_mode, exact=True)(
-            self._tables, jnp.asarray(codes), jnp.asarray(lengths),
-            jnp.asarray(leaf_ok))
+            self._tables, jnp.asarray(packed),
+            None if vbits is None else jnp.asarray(vbits),
+            jnp.asarray(lengths), jnp.asarray(leaf_ok))
 
     def fetch_prefetched(self, fetched, lengths: np.ndarray,
                          codes: Optional[np.ndarray] = None,
                          leaf_ok: Optional[np.ndarray] = None,
                          out_mode: str = "full") -> "LeafResults":
         """Build LeafResults from an already-device_get'ed output tuple."""
-        overflow = bool(np.any(np.asarray(fetched[-1])))
-        if overflow:
-            # heavy-tail overflow (astronomically skewed batch): recompute
-            # this batch with the exact full-depth scan
+        probe_over = bool(np.any(np.asarray(fetched[-1])))
+        fetch_over = (out_mode in ("dist", "dist_ratio")
+                      and bool(np.asarray(fetched[-2])))
+        if probe_over or fetch_over:
+            # heavy-tail probe overflow -> exact full-depth rescan; compact-
+            # fetch overflow (reads matching > K/B references) -> full fetch
             assert codes is not None, "overflow fallback needs the batch codes"
-            fetched = jax.device_get(tuple(self.run_exact(
-                codes, lengths, leaf_ok, out_mode=out_mode)))
+            run = self.run_exact if probe_over else (
+                lambda c, l, ok, out_mode: self.run_leaf_stage_async(
+                    c, l, ok, out_mode=out_mode))
+            fetched = jax.device_get(tuple(run(
+                codes, lengths, leaf_ok, out_mode="full")))
+            out_mode = "full"
         fetched = fetched[:-1]
-        if out_mode == "dist":
-            (present, d_f, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
-             onmers) = fetched
+        if out_mode in ("dist", "dist_ratio"):
+            fetched = fetched[:-1]
+            if out_mode == "dist_ratio":
+                (bits, dval, best_slot, hist_c, uc_c, v_c) = fetched
+            else:
+                (bits, dval, best_slot) = fetched
+                hist_c = uc_c = v_c = None
+            B = bits.shape[0]
+            S = self.S
+            present = codec.unpack_bits_host(bits, S)
+            d = np.full((B, S), D_MAX)
+            lanes = np.flatnonzero(present.reshape(-1))
+            d.reshape(-1)[lanes] = np.asarray(dval)[: len(lanes)]
+            best_slot = np.asarray(best_slot)
+            has_best = best_slot >= 0
+            closest_d = np.where(
+                has_best, d[np.arange(B), np.maximum(best_slot, 0)], D_MAX)
+            rho_c = None
+            if out_mode == "dist_ratio":
+                rho_c = np.where(has_best,
+                                 self.di.rho_slot[np.maximum(best_slot, 0)],
+                                 0.0)
+                hist_c = np.asarray(hist_c, np.float64)
+                uc_c = np.asarray(uc_c, np.float64)
             return LeafResults(
-                present=present, d=d_f, closest_slot=best_slot,
-                closest_d=best_d, hist_closest=hist_c, uc_closest=uc_c,
-                rho_closest=rho_c, v_closest=v_c, onmers=np.asarray(onmers),
+                present=present, d=d, closest_slot=best_slot,
+                closest_d=closest_d, hist_closest=hist_c, uc_closest=uc_c,
+                rho_closest=rho_c, v_closest=v_c, onmers=None,
                 lengths=np.asarray(lengths))
         (present, hist_f, d_f, v_f, mc_f, uc_f, rho, best_slot, best_d,
          hist_c, uc_c, rho_c, v_c, ratio) = fetched[:-1]
@@ -601,20 +676,23 @@ class SeekEngine:
         return scan_buckets_min(enc_v, start, cnt, res, self.th,
                                 self.sk.max_bucket)
 
-    def _run_impl(self, tables, codes, lengths):
+    def _run_impl(self, tables, packed, vbits, lengths):
+        codes = codec.unpack_codes(packed, lengths, packed.shape[1] * 16,
+                                   vbits)
         lsh = self.lsh
         k = lsh.k
         B, L = codes.shape
         P = L - k + 1
         th = self.th
         t_idx = jnp.arange(P, dtype=jnp.int32)
-        valid = codec.window_valid(codes, k) & (t_idx[None, :] <= lengths[:, None] - k)
+        rix_or, rix_rc, res_or, res_rc, valid_w = \
+            codec.strand_hashes_conv(codes, lsh)
+        valid = valid_w & (t_idx[None, :] <= lengths[:, None] - k)
         onmers = jnp.sum(valid, axis=1, dtype=jnp.int32)
         xs = jnp.arange(th + 1, dtype=jnp.int32)
 
         outs = []
-        for rix, res in ((codec.lsh_hash_or(codes, lsh), codec.residual_or(codes, lsh)),
-                         (codec.lsh_hash_rc(codes, lsh), codec.residual_rc(codes, lsh))):
+        for rix, res in ((rix_or, res_or), (rix_rc, res_rc)):
             gmin = self._strand_min(tables, rix, res, valid)
             onehot = (gmin[..., None] == xs[None, None, :])
             hist = jnp.sum(onehot, axis=1).astype(F)          # [B, th+1]
@@ -634,6 +712,9 @@ class SeekEngine:
         return has, d
 
     def run(self, codes: np.ndarray, lengths: np.ndarray):
-        has, d = self._run_jit(self._tables, jnp.asarray(codes),
+        packed, vbits = codec.pack_codes_host(np.asarray(codes),
+                                              np.asarray(lengths))
+        has, d = self._run_jit(self._tables, jnp.asarray(packed),
+                               None if vbits is None else jnp.asarray(vbits),
                                jnp.asarray(lengths))
         return jax.device_get((has, d))

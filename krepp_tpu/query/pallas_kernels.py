@@ -90,6 +90,123 @@ def hdist_chunk(res: jax.Array, enc: jax.Array, cnt: jax.Array, th: int = 4,
     return hd[:N], gmin[:N]
 
 
+def _probe_hist_kernel(enc_ref, msk_ref, res_ref, resi_ref, hist_ref,
+                       min_ref, *, th: int, C0: int, W: int, S: int):
+    """Fused direct-probe epilogue for one tile of TB probes-rows.
+
+    Layout puts the position axis P last (the 128-lane axis):
+      enc_ref:  [TB, C0, P] u32   candidate residual encodings
+      msk_ref:  [TB, W*C0, P] u32 leaf bitmask words per candidate
+      res_ref:  [TB, 1, P] u32    probe residuals
+      resi_ref: [TB, 1, P] i32    1 where the probe row is resident/valid
+      hist_ref: [TB, S, X] i32    per-(read, leaf) first-match histogram
+      min_ref:  [TB, 1, 1] i32    min matched distance over the tile row
+
+    Everything after the XLA row-gather happens here in VMEM: XOR + 16-bit
+    fold + popcount Hamming distance (ref: src/common.hpp:157-175), the
+    per-distance-class leaf-bitmask OR, the first-x dedupe
+    (ref: src/query.hpp:153-176) and the position reduction.
+    """
+    X = th + 1
+    # everything int32: Mosaic's u32<->i32 conversion rule recurses, and all
+    # the bit arithmetic here is sign-agnostic (the 16-bit fold masks away
+    # arithmetic-shift fill; (x >> s) & 1 extracts bit s either way)
+    enc = enc_ref[:]                       # [TB, C0, P] i32
+    res = res_ref[:]                       # [TB, 1, P] i32
+    resi = resi_ref[:] != 0                # [TB, 1, P]
+    z = jnp.bitwise_xor(enc, res)
+    folded = jnp.bitwise_and(jnp.bitwise_or(z, z >> 16), jnp.int32(0xFFFF))
+    hd = jax.lax.population_count(folded)  # [TB, C0, P] i32
+    has = jnp.zeros(enc.shape, bool)
+    for w in range(W):
+        has = has | (msk_ref[:, w * C0:(w + 1) * C0, :] != 0)
+    match = has & (hd <= th) & resi
+    # NOTE: weak python-int scalars inside where() send Mosaic's convert
+    # lowering into infinite recursion under x64 — always wrap in jnp.int32
+    hdm = jnp.where(match, hd, jnp.int32(HD_SENTINEL))
+    min_ref[:] = jnp.min(jnp.min(hdm, axis=2), axis=1, keepdims=True)
+
+    TB = enc.shape[0]
+    P = enc.shape[2]
+    seen = [jnp.zeros((TB, 1, P), jnp.int32) for _ in range(W)]
+    cols = []                              # per x: [TB, S] counts
+    for x in range(X):
+        hit = match & (hd == x)            # [TB, C0, P]
+        rows = []
+        for w in range(W):
+            msk_w = msk_ref[:, w * C0:(w + 1) * C0, :]
+            sel = jnp.where(hit, msk_w, jnp.int32(0))
+            # tree OR-fold over the candidate axis (log2(C0) wide VPU ops
+            # instead of C0 single-row ones); zero-pad to a power of two
+            width = 1 << max(C0 - 1, 0).bit_length()
+            if width != C0:
+                sel = jnp.concatenate(
+                    [sel, jnp.zeros((TB, width - C0, P), jnp.int32)], axis=1)
+            while width > 1:
+                half = width // 2
+                sel = sel[:, :half, :] | sel[:, half:, :]
+                width = half
+            plane = sel                     # [TB, 1, P]
+            new = plane & ~seen[w]         # first x wins per (position, leaf)
+            seen[w] = seen[w] | plane
+            ns = min(S - w * 32, 32)
+            shifts = jax.lax.broadcasted_iota(jnp.int32, (TB, ns, P), 1)
+            bits = (new >> shifts) & jnp.int32(1)    # [TB, ns, P]
+            rows.append(jnp.sum(bits, axis=2, dtype=jnp.int32))
+        cols.append(rows[0] if W == 1 else jnp.concatenate(rows, axis=1))
+    hist_ref[:] = jnp.stack(cols, axis=-1)           # [TB, S, X]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("th", "C0", "W", "S", "interpret"))
+def probe_hist_tiles(enc_g: jax.Array, msk_g: jax.Array, res: jax.Array,
+                     resident: jax.Array, th: int, C0: int, W: int, S: int,
+                     interpret: bool = False):
+    """Tiled fused probe epilogue.
+
+    enc_g [N, C0, P] u32; msk_g [N, W*C0, P] u32; res [N, P] u32;
+    resident [N, P] bool. Returns (hist [N, S, th+1] i32, minall [N] i32).
+    """
+    from jax.experimental import pallas as pl
+
+    N, _, P = enc_g.shape
+    X = th + 1
+    TB = 64
+    Np = ((N + TB - 1) // TB) * TB
+    if Np != N:
+        pad = Np - N
+        enc_g = jnp.pad(enc_g, ((0, pad), (0, 0), (0, 0)))
+        msk_g = jnp.pad(msk_g, ((0, pad), (0, 0), (0, 0)))
+        res = jnp.pad(res, ((0, pad), (0, 0)))
+        resident = jnp.pad(resident, ((0, pad), (0, 0)))
+    enc_g = jax.lax.bitcast_convert_type(enc_g, jnp.int32)
+    msk_g = jax.lax.bitcast_convert_type(msk_g, jnp.int32)
+    res = jax.lax.bitcast_convert_type(res, jnp.int32)
+    kern = functools.partial(_probe_hist_kernel, th=th, C0=C0, W=W, S=S)
+    hist, minall = pl.pallas_call(
+        kern,
+        grid=(Np // TB,),
+        # index maps use i*0 instead of literal 0: under x64 a literal
+        # promotes to i64 and Mosaic fails to legalize the map's return
+        in_specs=[
+            pl.BlockSpec((TB, C0, P), lambda i: (i, i * 0, i * 0)),
+            pl.BlockSpec((TB, W * C0, P), lambda i: (i, i * 0, i * 0)),
+            pl.BlockSpec((TB, 1, P), lambda i: (i, i * 0, i * 0)),
+            pl.BlockSpec((TB, 1, P), lambda i: (i, i * 0, i * 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, S, X), lambda i: (i, i * 0, i * 0)),
+            pl.BlockSpec((TB, 1), lambda i: (i, i * 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, S, X), jnp.int32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(enc_g, msk_g, res[:, None, :], resident[:, None, :].astype(jnp.int32))
+    return hist[:N], minall[:N, 0]
+
+
 def hdist_chunk_xla(res: jax.Array, enc: jax.Array, cnt: jax.Array,
                     th: int = 4):
     """Reference XLA implementation of the same contract."""

@@ -114,13 +114,17 @@ class PlaceAggregator:
             jnp.asarray(lr.rho_closest), jnp.asarray(lr.v_closest))
         return jax.device_get(tuple(out))
 
-    def _place_impl(self, tables, codes, lengths, leaf_ok,
+    def _place_impl(self, tables, packed, vbits, lengths, leaf_ok,
                     exact: bool = False):
         """Fused probe + stage 2 + placement aggregation, returning only
         what the report pass consumes (the chi-square grid is recomputed on
         the host from the closest-candidate summary; the device link is the
         bottleneck, not the f64 math)."""
+        from ..core import codec as _codec
+
         eng = self.engine
+        codes = _codec.unpack_codes(packed, lengths, packed.shape[1] * 16,
+                                    vbits)
         probe_out = eng._probe_dispatch(tables, codes, lengths, exact)
         out = eng._stage2_impl(*probe_out[:5], leaf_ok)
         (present, hist_f, d_f, v_f, mc_f, uc_f, _rho, best_slot, best_d,
@@ -132,25 +136,24 @@ class PlaceAggregator:
         return (present, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
                 d_q, v_q, support, leq_tau > 1.0, onmers, overflow)
 
-    def run_place_async(self, codes, lengths, leaf_ok):
-        eng = self.engine
-        key = False
-        if key not in self._place_jits:
-            self._place_jits[key] = jax.jit(self._place_impl)
-        return self._place_jits[key](eng._tables, jnp.asarray(codes),
-                                     jnp.asarray(lengths),
-                                     jnp.asarray(leaf_ok))
+    def run_place_async(self, codes, lengths, leaf_ok, exact: bool = False):
+        from ..core import codec as _codec
 
-    def run_place_exact(self, codes, lengths, leaf_ok):
         eng = self.engine
-        if True not in self._place_jits:
+        if exact not in self._place_jits:
             import functools
 
-            self._place_jits[True] = jax.jit(
-                functools.partial(self._place_impl, exact=True))
-        return self._place_jits[True](eng._tables, jnp.asarray(codes),
-                                      jnp.asarray(lengths),
-                                      jnp.asarray(leaf_ok))
+            self._place_jits[exact] = jax.jit(
+                functools.partial(self._place_impl, exact=exact))
+        packed, vbits = _codec.pack_codes_host(np.asarray(codes),
+                                               np.asarray(lengths))
+        return self._place_jits[exact](
+            eng._tables, jnp.asarray(packed),
+            None if vbits is None else jnp.asarray(vbits),
+            jnp.asarray(lengths), jnp.asarray(leaf_ok))
+
+    def run_place_exact(self, codes, lengths, leaf_ok):
+        return self.run_place_async(codes, lengths, leaf_ok, exact=True)
 
     def chisq_host(self, d_q, hist_c, uc_c, rho_c, v_c) -> np.ndarray:
         """chisq_q = 2 (llh(d_q | closest) - v_closest) on host f64."""

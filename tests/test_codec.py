@@ -99,3 +99,61 @@ def test_row_to_local():
         assert resident[i] == (i % 4 == 1)
         if resident[i]:
             assert local[i] == i // 4
+
+
+def test_pack_unpack_codes_roundtrip():
+    """pack_codes_host/unpack_codes must reproduce codes exactly, with
+    position >= length and interior/trailing Ns all decoding to 4."""
+    rng = np.random.default_rng(5)
+    for trial in range(8):
+        B = int(rng.integers(1, 6))
+        L = int(rng.integers(1, 200))
+        lengths = rng.integers(0, L + 1, B).astype(np.int32)
+        codes = np.full((B, L), 4, np.uint8)
+        for b in range(B):
+            codes[b, : lengths[b]] = rng.integers(0, 4, lengths[b])
+            if trial % 2 == 1 and lengths[b] > 2:
+                # interior + trailing Ns within the read
+                codes[b, rng.integers(0, lengths[b])] = 4
+                codes[b, lengths[b] - 1] = 4
+        packed, vbits = codec.pack_codes_host(codes, lengths)
+        if trial % 2 == 0:
+            assert vbits is None
+        got = np.asarray(codec.unpack_codes(
+            jnp.asarray(packed), jnp.asarray(lengths), L,
+            None if vbits is None else jnp.asarray(vbits)))
+        want = codes.copy()
+        for b in range(B):
+            want[b, lengths[b]:] = 4
+        assert (got == want).all()
+
+
+def test_pack_bits_roundtrip():
+    rng = np.random.default_rng(6)
+    for S in (1, 24, 32, 33, 100):
+        flags = rng.random((7, S)) < 0.3
+        words = np.asarray(codec.pack_bits_device(jnp.asarray(flags)))
+        assert (codec.unpack_bits_host(words, S) == flags).all()
+
+
+def test_strand_hashes_conv_exact():
+    """The MXU-conv formulation must match the slice-sum hashes bit-for-bit
+    on valid windows, across parameter corners (incl. h=15, k-h=16)."""
+    rng = np.random.default_rng(9)
+    from krepp_tpu.params import LSHParams
+
+    for k, h in ((27, 11), (31, 15), (19, 3), (20, 4)):
+        lp = LSHParams.generate(k=k, h=h, m=4, seed=1)
+        codes = rng.integers(0, 4, (5, 150)).astype(np.uint8)
+        codes[2, 40:43] = 4  # interior Ns
+        jc = jnp.asarray(codes)
+        rix_or, rix_rc, res_or, res_rc, valid = (
+            np.asarray(a) for a in codec.strand_hashes_conv(jc, lp))
+        v_ref = np.asarray(codec.window_valid(jc, k))
+        assert (valid == v_ref).all()
+        for got, ref_fn in ((rix_or, codec.lsh_hash_or),
+                            (rix_rc, codec.lsh_hash_rc),
+                            (res_or, codec.residual_or),
+                            (res_rc, codec.residual_rc)):
+            ref = np.asarray(ref_fn(jc, lp))
+            assert (got[v_ref] == ref[v_ref]).all(), (k, h, ref_fn.__name__)

@@ -36,3 +36,35 @@ def test_hdist_chunk_nonmultiple_tile():
                                  jnp.asarray(cnt), th=4)
     assert np.array_equal(np.asarray(hd_p), np.asarray(hd_x))
     assert np.array_equal(np.asarray(mn_p), np.asarray(mn_x))
+
+
+def test_probe_epilogue_matches_xla_engine():
+    """The fused Pallas probe epilogue (interpret mode) must reproduce the
+    XLA direct-probe outputs bit-for-bit on a real small index."""
+    import jax
+
+    from krepp_tpu.index.index import DeviceIndex
+    from krepp_tpu.query.engine import QueryEngine
+    from krepp_tpu.testing import build_world_index, sample_read_codes
+
+    built, genomes, _ = build_world_index(seed=11, nleaves=6, glen=1500, m=2)
+    di = DeviceIndex.from_built(built)
+    engine = QueryEngine(di, hdist_th=4)
+    assert engine.mode == "direct"
+    rng = np.random.default_rng(12)
+    codes = sample_read_codes(rng, genomes, 32, rlen=150, mut=0.08)
+    # inject Ns + a short read
+    codes[0, 30:34] = 4
+    lengths = np.full(32, 150, np.int32)
+    lengths[1] = 97
+
+    probe = jax.jit(engine._probe_impl)
+    engine._use_pallas = False
+    ref = jax.device_get(tuple(probe(
+        engine._tables, jnp.asarray(codes), jnp.asarray(lengths))))
+    engine._use_pallas = True
+    probe2 = jax.jit(engine._probe_impl)
+    got = jax.device_get(tuple(probe2(
+        engine._tables, jnp.asarray(codes), jnp.asarray(lengths))))
+    for a, b in zip(ref[:5], got[:5]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
