@@ -62,6 +62,24 @@ class BuiltSketch:
         return len(self.enc_v)
 
 
+def _extract_genome(contigs, params: IndexParams):
+    """Winnow one genome: native C by default, else the device pipeline.
+
+    The three implementations (native, device, host-JAX) are semantically
+    identical (tested); sdust masking runs through its own path. Set
+    KREPP_DEVICE_WINNOW=1 to force the on-device winnower."""
+    import os
+
+    if params.sdust_t > 0 and params.sdust_w > 0:
+        return masked_extract.extract_genome_mers_masked(contigs, params)
+    if not os.environ.get("KREPP_DEVICE_WINNOW"):
+        from ..core import native_extract
+
+        if native_extract.native_available():
+            return native_extract.extract_genome_mers_native(contigs, params)
+    return winnow_device.extract_genome_mers_device(contigs, params)
+
+
 def _dedupe_genome(rows: np.ndarray, res: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Per-genome (row, residual) dedupe (ref: src/table.cpp:157-166)."""
     key = rows.astype(np.uint64) << np.uint64(32) | res.astype(np.uint64)
@@ -125,12 +143,7 @@ def build_index_from_sources(names: List[str], contig_source,
             continue
         contigs = (fetched[name].result() if name in fetched
                    else contig_source[name]())
-        if params.sdust_t > 0 and params.sdust_w > 0:
-            rows, res, g_rho = masked_extract.extract_genome_mers_masked(
-                contigs, params)
-        else:
-            rows, res, g_rho = winnow_device.extract_genome_mers_device(
-                contigs, params)
+        rows, res, g_rho = _extract_genome(contigs, params)
         rows, res = _dedupe_genome(rows, res)
         rho[se] = g_rho
         all_rows.append(rows)
@@ -202,12 +215,7 @@ def _merge_and_color(rows: np.ndarray, res: np.ndarray, leaf: np.ndarray,
 
 def build_sketch(path: str, params: IndexParams, progress: bool = True) -> BuiltSketch:
     """Single-genome sketch (ref: src/krepp.cpp:110-119)."""
-    if params.sdust_t > 0 and params.sdust_w > 0:
-        rows, res, rho = masked_extract.extract_genome_mers_masked(
-            read_genome_codes(path), params)
-    else:
-        rows, res, rho = winnow_device.extract_genome_mers_device(
-            read_genome_codes(path), params)
+    rows, res, rho = _extract_genome(read_genome_codes(path), params)
     rows, res = _dedupe_genome(rows, res)
     key = rows.astype(np.uint64) << np.uint64(32) | res.astype(np.uint64)
     key = np.unique(key)

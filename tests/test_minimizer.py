@@ -5,6 +5,7 @@ import pytest
 
 from krepp_tpu.params import IndexParams, LSHParams
 from krepp_tpu.core import codec, minimizer
+from krepp_tpu.core.minimizer import extract_sequence_mers
 
 import oracle
 
@@ -146,3 +147,47 @@ def test_device_winnow_chunked_trailing_n_fallback(monkeypatch):
     key_h = np.unique(host[0].astype(np.uint64) << np.uint64(32) | host[1])
     key_d = np.unique(dev[0].astype(np.uint64) << np.uint64(32) | dev[1])
     assert np.array_equal(key_d, key_h)
+
+
+def test_native_extractor_matches_host():
+    """csrc/extract.c must reproduce extract_sequence_mers exactly:
+    kept (row, residual) multisets, and the HLL register maxima."""
+    from krepp_tpu.core import native_extract
+    from krepp_tpu.core.hll import HyperLogLog
+
+    if not native_extract.native_available():
+        import pytest
+
+        pytest.skip("no C compiler for the native extractor")
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        k = int(rng.integers(19, 32))
+        h = int(rng.integers(max(3, k - 16), 16))
+        w = k + int(rng.integers(0, 10))
+        m = int(rng.integers(1, 5))
+        r = int(rng.integers(0, m))
+        frac = bool(rng.integers(0, 2))
+        lsh = LSHParams.generate(k=k, h=h, m=m, seed=trial)
+        params = IndexParams(lsh=lsh, w=w, r=r, frac=frac)
+        n = int(rng.integers(w, 4000))
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        # sprinkle N runs (also at the tail, to hit final-emission quirks)
+        for _ in range(int(rng.integers(0, 5))):
+            p = int(rng.integers(0, n))
+            codes[p: p + int(rng.integers(1, 30))] = 4
+        out_h = extract_sequence_mers(codes, params)
+        out_n = native_extract.extract_sequence_mers_native(codes, params)
+        assert (out_h is None) == (out_n is None)
+        if out_h is None:
+            continue
+        rows_h, res_h, c1h, c2h = out_h
+        rows_n, res_n, c1n, c2n = out_n
+        key_h = np.sort(rows_h.astype(np.uint64) << np.uint64(32) | res_h)
+        key_n = np.sort(rows_n.astype(np.uint64) << np.uint64(32) | res_n)
+        assert np.array_equal(key_h, key_n), (trial, k, h, w, m, r, frac)
+        h1 = HyperLogLog(12)
+        h1.add_many(c1h)
+        h2 = HyperLogLog(12)
+        h2.add_many(c2h)
+        assert np.array_equal(h1.M, c1n)
+        assert np.array_equal(h2.M, c2n)
