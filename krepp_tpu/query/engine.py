@@ -60,10 +60,14 @@ def _csr_bucket_slices(row_start, row_ids, urow, resident):
     return start, cnt
 
 
-# Bucket-row probe applies when every bucket fits this many slots; beyond it
-# the CSR scan path runs (the row table would also stop paying off).
-DIRECT_CAP = 16
-# HBM budget for the bucket-row table (nrows_u * C0 * (1+W) u32 words).
+# Dense slots materialized per bucket row in hybrid mode. Random-row gather
+# cost on TPU is dominated by per-row latency but still grows with width, so
+# the dense row holds only the first DENSE_SLOTS entries (+ a count word);
+# deeper buckets are rescanned through the CSR by the compacted heavy tail.
+DENSE_SLOTS = 2
+# Fraction cap for the heavy tail: K = max(1024, nprobes // HEAVY_DIV).
+HEAVY_DIV = 16
+# HBM budget for the dense bucket-row table.
 DIRECT_MEM_CAP = 2 << 30
 
 
@@ -117,45 +121,51 @@ class QueryEngine:
         """Choose the probe layout and place its arrays on device.
 
         Overridden by ShardedQueryEngine, which shards its own arrays."""
-        slots = self._build_direct_table(dindex)
+        csr = self._csr_arrays(dindex)
+        slots = self._build_hybrid_table(dindex)
         if slots is not None:
-            self.mode = "direct"
-            self.C0 = max(1, dindex.max_bucket)
-            self._tables = (jnp.asarray(slots),)
+            self.mode = "hybrid"
+            self.C0 = min(DENSE_SLOTS, max(1, dindex.max_bucket))
+            self._tables = (jnp.asarray(slots),) + csr
         else:
             self.mode = "csr"
-            enc_se = np.stack(
-                [dindex.enc_v, dindex.se_v.astype(np.uint32)], axis=1)
-            row_start = dindex.row_start.astype(
-                np.int32 if dindex.row_start[-1] < 2**31 else np.int64)
-            row_ids = (None if dindex.row_ids is None
-                       else dindex.row_ids.astype(np.int32))
-            self._tables = (jnp.asarray(enc_se), jnp.asarray(row_start),
-                            None if row_ids is None else jnp.asarray(row_ids),
-                            jnp.asarray(dindex.se_mask))
+            self._tables = csr
 
-    def _build_direct_table(self, di: DeviceIndex):
-        """[nrows_u, C0*(1+W)] u32 bucket rows: (enc, mask...) per slot.
+    def _csr_arrays(self, dindex: DeviceIndex):
+        enc_se = np.stack(
+            [dindex.enc_v, dindex.se_v.astype(np.uint32)], axis=1)
+        row_start = dindex.row_start.astype(
+            np.int32 if dindex.row_start[-1] < 2**31 else np.int64)
+        row_ids = (None if dindex.row_ids is None
+                   else dindex.row_ids.astype(np.int32))
+        return (jnp.asarray(enc_se), jnp.asarray(row_start),
+                None if row_ids is None else jnp.asarray(row_ids),
+                jnp.asarray(dindex.se_mask))
 
-        Empty slots carry mask == 0 (a real color always has >= 1 leaf), so
-        no separate count array is needed."""
-        if di.row_ids is not None or di.max_bucket > DIRECT_CAP:
+    def _build_hybrid_table(self, di: DeviceIndex):
+        """[nrows_u, 1 + C0*(1+W)] u32 rows: count, then (enc, mask...) per
+        dense slot. Buckets deeper than C0 spill to the CSR heavy tail."""
+        if di.row_ids is not None:
             return None
-        C0 = max(1, di.max_bucket)
+        C0 = min(DENSE_SLOTS, max(1, di.max_bucket))
         W = self.W
-        width = C0 * (1 + W)
+        width = 1 + C0 * (1 + W)
         if di.nrows_u * width * 4 > DIRECT_MEM_CAP:
             return None
         counts = np.diff(di.row_start)
+        slots = np.zeros((di.nrows_u, width), np.uint32)
+        slots[:, 0] = counts.astype(np.uint32)
+        dense = None
         urow_of = np.repeat(np.arange(di.nrows_u, dtype=np.int64), counts)
         j = (np.arange(len(di.enc_v), dtype=np.int64)
              - np.repeat(di.row_start[:-1], counts))
-        slots = np.zeros((di.nrows_u, width), np.uint32)
-        col = (j * (1 + W)).astype(np.int64)
-        slots[urow_of, col] = di.enc_v
-        mask_rows = di.se_mask[di.se_v]
+        dense = j < C0
+        col = (1 + j[dense] * (1 + W)).astype(np.int64)
+        rows_d = urow_of[dense]
+        slots[rows_d, col] = di.enc_v[dense]
+        mask_rows = di.se_mask[di.se_v[dense]]
         for wd in range(W):
-            slots[urow_of, col + 1 + wd] = mask_rows[:, wd]
+            slots[rows_d, col + 1 + wd] = mask_rows[:, wd]
         return slots
 
     # ------------------------------------------------- residue select chains
@@ -213,49 +223,32 @@ class QueryEngine:
         res2 = jnp.stack([res_or, res_rc])
         return rix2, res2, valid, onmers
 
-    def _probe_direct(self, tables, codes, lengths):
-        """Bucket-row probe: one gather + fused epilogue, always exact.
+    def _dense_epilogue(self, ent4, res2, light, B, P):
+        """First-C0-slot probe epilogue -> (hist [2B,S,X], minall [2B]).
 
-        Semantics identical to the CSR scan: per-(read, position, leaf)
-        minimum Hamming distance histogram (ref: src/query.hpp:153-176).
-        On TPU the epilogue runs as a Pallas kernel (everything after the
-        row gather stays in VMEM); the XLA formulation below is the CPU /
-        fallback path with identical outputs."""
-        (slots,) = tables
+        Pallas kernel on TPU; identical XLA formulation elsewhere."""
         th, W, S, C0 = self.th, self.W, self.S, self.C0
         X = th + 1
-        rix2, res2, valid, onmers = self._strand_hashes(codes, lengths)
-        urow, resident = self._urow(rix2, valid[None])
-        ent = slots[urow]                                # [2, B, P, C0*(1+W)]
-
+        N = 2 * B
         if self._use_pallas:
             from .pallas_kernels import probe_hist_tiles
 
-            B, P = codes.shape[0], ent.shape[2]
-            N = 2 * B
-            ent4 = ent.reshape(N, P, C0, 1 + W)
             enc_g = jnp.transpose(ent4[..., 0], (0, 2, 1))      # [N, C0, P]
             msk_g = jnp.concatenate(
                 [jnp.transpose(ent4[..., 1 + w], (0, 2, 1))
                  for w in range(W)], axis=1)                    # [N, W*C0, P]
-            hist, minall = probe_hist_tiles(
-                enc_g, msk_g, res2.reshape(N, P), resident.reshape(N, P),
+            return probe_hist_tiles(
+                enc_g, msk_g, res2.reshape(N, P), light.reshape(N, P),
                 th, C0, W, S, interpret=self._pallas_interpret)
-            hist = hist.reshape(2, B, S, X)
-            minall = minall.reshape(2, B)
-            return (hist[0], hist[1], minall[0], minall[1], onmers,
-                    jnp.bool_(False))
-        ent = ent.reshape(ent.shape[:-1] + (C0, 1 + W))
-        enc = ent[..., 0]
-        msk = ent[..., 1:]                               # [2, B, P, C0, W]
+        enc = ent4[..., 0]                               # [N, P, C0]
+        msk = ent4[..., 1:]                              # [N, P, C0, W]
         has = jnp.zeros(enc.shape, bool)
         for wd in range(W):
             has = has | (msk[..., wd] != 0)
-        hd = codec.hdist_lr32(enc, res2[..., None])
-        match = has & (hd <= th) & resident[..., None]
+        hd = codec.hdist_lr32(enc, res2.reshape(N, P)[..., None])
+        match = has & (hd <= th) & light.reshape(N, P)[..., None]
         gmin = jnp.min(jnp.where(match, hd, HD_SENTINEL), axis=-1)
-        minall = jnp.min(gmin, axis=-1)                  # [2, B]
-
+        minall = jnp.min(gmin, axis=-1)                  # [N]
         seen = None
         hists = []
         for x in range(X):
@@ -263,21 +256,110 @@ class QueryEngine:
             plane = jnp.zeros(enc.shape[:-1] + (W,), jnp.uint32)
             for c in range(C0):
                 plane = plane | jnp.where(hit[..., c, None], msk[..., c, :], 0)
-            bits = self._expand(plane)                   # [2, B, P, S]
+            bits = self._expand(plane)                   # [N, P, S]
             if seen is None:
                 new = bits
                 seen = bits
             else:
                 new = bits & (seen ^ jnp.uint32(1))
                 seen = seen | bits
-            hists.append(jnp.sum(new.astype(jnp.int32), axis=2))
-        hist = jnp.stack(hists, axis=-1)                 # [2, B, S, X]
+            hists.append(jnp.sum(new.astype(jnp.int32), axis=1))
+        hist = jnp.stack(hists, axis=-1)                 # [N, S, X]
+        return hist, minall
+
+    def _probe_hybrid(self, tables, codes, lengths):
+        """Dense-2 bucket-row probe + compacted CSR heavy tail, always exact
+        up to the top_k capacity (overflow flag -> exact full rescan).
+
+        Semantics identical to the CSR scan: per-(read, position, leaf)
+        minimum Hamming distance histogram (ref: src/query.hpp:153-176).
+        The dense row carries a count word and the first DENSE_SLOTS
+        entries; probes hitting deeper buckets are excluded from the dense
+        pass and rescanned at full depth through the CSR."""
+        slots_d, enc_se, row_start, _row_ids, mask_tab = tables
+        th, W, S, C0 = self.th, self.W, self.S, self.C0
+        X = th + 1
+        rix2, res2, valid, onmers = self._strand_hashes(codes, lengths)
+        urow, resident = self._urow(rix2, valid[None])   # [2, B, P]
+        d = slots_d[urow]                                # [2,B,P,1+C0(1+W)]
+        cnt = d[..., 0].astype(jnp.int32)
+        heavy = resident & (cnt > C0)
+        light = resident & jnp.logical_not(heavy)
+        B = codes.shape[0]
+        P = urow.shape[2]
+        N = 2 * B
+        ent4 = d[..., 1:].reshape(N, P, C0, 1 + W)
+        hist, minall = self._dense_epilogue(ent4, res2, light, B, P)
+
+        overflow = jnp.bool_(False)
+        if self.di.max_bucket > C0:
+            Np = N * P
+            K = min(Np, max(1024, Np // HEAVY_DIV))
+            hf = heavy.reshape(Np)
+            overflow = jnp.sum(hf.astype(jnp.int32)) > K
+            _, hidx = jax.lax.top_k(hf.astype(jnp.int32), K)
+            seg = (hidx // P).astype(jnp.int32)
+            order = jnp.argsort(seg)
+            hidx = hidx[order]
+            seg = seg[order]
+            live = hf[hidx]
+            hurow = urow.reshape(Np)[hidx]
+            hres = res2.reshape(Np)[hidx]
+            start = row_start[hurow]
+            hcnt = jnp.where(live, (row_start[hurow + 1] - start),
+                             0).astype(jnp.int32)
+            from .bucket_scan import _scan_loop
+
+            Mm0 = jnp.zeros((X, K, W), jnp.uint32)
+            gmin0 = jnp.full((K,), HD_SENTINEL, jnp.int32)
+            hmax = jnp.minimum(jnp.max(hcnt), self.di.max_bucket)
+            Mm, hgmin = _scan_loop(enc_se, mask_tab, start,
+                                   hcnt, hres, th, W, 0, hmax, Mm0, gmin0)
+            seen = None
+            w_live = live.astype(jnp.uint32)
+            for x in range(X):
+                bits = self._expand(Mm[x])               # [K, S]
+                if seen is None:
+                    new = bits
+                    seen = bits
+                else:
+                    new = bits & (seen ^ jnp.uint32(1))
+                    seen = seen | bits
+                contrib = (new * w_live[:, None]).astype(jnp.int32)
+                hist = hist.at[:, :, x].add(jax.ops.segment_sum(
+                    contrib, seg, num_segments=N, indices_are_sorted=True))
+            hgmin = jnp.where(live, hgmin, HD_SENTINEL)
+            minh = jax.ops.segment_min(hgmin, seg, num_segments=N,
+                                       indices_are_sorted=True)
+            minall = jnp.minimum(minall, jnp.minimum(minh, HD_SENTINEL))
+
+        hist = hist.reshape(2, B, S, X)
+        minall = minall.reshape(2, B)
+        return (hist[0], hist[1], minall[0], minall[1], onmers, overflow)
+
+    def _probe_csr_exact(self, tables, codes, lengths):
+        """Exact full-depth CSR scan of every probe (overflow fallback)."""
+        enc_se, row_start, row_ids, mask_tab = tables[-4:]
+        rix2, res2, valid, onmers = self._strand_hashes(codes, lengths)
+        urow, resident = self._urow(rix2, valid[None])
+        start, cnt = _csr_bucket_slices(row_start, row_ids, urow, resident)
+        B = codes.shape[0]
+        P = urow.shape[2]
+        N = 2 * B
+        hist, minall = probe_strand_full(
+            enc_se, mask_tab, self._expand, start.reshape(N, P),
+            cnt.reshape(N, P), res2.reshape(N, P),
+            self.th, self.W, self.S, self.di.max_bucket)
+        hist = hist.reshape(2, B, self.S, self.th + 1)
+        minall = minall.reshape(2, B)
         return (hist[0], hist[1], minall[0], minall[1], onmers,
                 jnp.bool_(False))
 
     def _probe_impl(self, tables, codes, lengths, exact: bool = False):
-        if self.mode == "direct":
-            return self._probe_direct(tables, codes, lengths)
+        if self.mode == "hybrid":
+            if exact:
+                return self._probe_csr_exact(tables, codes, lengths)
+            return self._probe_hybrid(tables, codes, lengths)
         lsh = self.lsh
         k = lsh.k
         B, L = codes.shape

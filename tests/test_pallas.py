@@ -50,7 +50,7 @@ def test_probe_epilogue_matches_xla_engine():
     built, genomes, _ = build_world_index(seed=11, nleaves=6, glen=1500, m=2)
     di = DeviceIndex.from_built(built)
     engine = QueryEngine(di, hdist_th=4)
-    assert engine.mode == "direct"
+    assert engine.mode == "hybrid"
     rng = np.random.default_rng(12)
     codes = sample_read_codes(rng, genomes, 32, rlen=150, mut=0.08)
     # inject Ns + a short read
