@@ -75,7 +75,7 @@ def _extract_genome(contigs, params: IndexParams):
     if not os.environ.get("KREPP_DEVICE_WINNOW"):
         from ..core import native_extract
 
-        if native_extract.native_available():
+        if native_extract.native_available(params):
             return native_extract.extract_genome_mers_native(contigs, params)
     return winnow_device.extract_genome_mers_device(contigs, params)
 

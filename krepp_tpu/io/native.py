@@ -26,14 +26,15 @@ def _csrc_dir() -> str:
         os.path.dirname(os.path.abspath(__file__)))), "csrc")
 
 
-def _lib_path() -> str:
-    return os.path.join(_csrc_dir(), "libfastx.so")
-
-
 def _build_lib() -> Optional[str]:
     src = os.path.join(_csrc_dir(), "fastx.c")
-    out = _lib_path()
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    import hashlib
+
+    # rebuild keyed on the source hash (mtimes don't survive git checkout)
+    with open(src, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    out = os.path.join(_csrc_dir(), f"libfastx-{tag}.so")
+    if os.path.exists(out):
         return out
     try:
         subprocess.run(
