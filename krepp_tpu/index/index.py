@@ -25,11 +25,20 @@ from .colors import ColorTable
 from .build import BuiltIndex, BuiltSketch
 
 
-# Above this many unified rows the dense CSR offset array (4 B/row) costs
-# more HBM than the entries themselves for any realistic index; switch to a
+# Above this many unified rows a dense CSR offset array (4 B/row) only pays
+# off when the table content is comparably large; otherwise switch to a
 # sorted sparse row-id table + binary search (h=15 alone implies 2^30 rows,
-# ref: src/krepp.hpp:59-85 allows 3 <= h <= 15).
+# ref: src/krepp.hpp:59-85 allows 3 <= h <= 15). Between the threshold and
+# the hard cap the decision is content-driven: dense when at least 1/4 of
+# the rows are nonempty (the offset array then costs <= ~2 words/entry).
 SPARSE_ROW_THRESHOLD = 1 << 24
+DENSE_ROW_CAP = 1 << 27
+
+# Per-color leaf bitmasks ([nse, ceil(S/32)] u32) are built only while they
+# stay this many words wide (<= 256 leaf slots); wider indexes query through
+# the event probe, whose color expansion goes through the leaf-list CSR and
+# whose cost is O(matched color cardinality) instead of O(S) per probe.
+MASK_W_CAP = 8
 
 
 @dataclass
@@ -54,9 +63,12 @@ class DeviceIndex:
     leaf_ses: np.ndarray      # int32 [S]
     slot_of_se: Dict[int, int]
     rho_slot: np.ndarray      # float64 [S]
-    se_mask: np.ndarray       # uint32 [nse, W]
+    se_mask: Optional[np.ndarray]  # uint32 [nse, W]; None when W > MASK_W_CAP
     info: str = ""
     row_ids: Optional[np.ndarray] = None  # int32 [nnz], sorted; None = dense
+    # per-color leaf-slot CSR (the event probe's color decode tables)
+    leaf_csr_off: Optional[np.ndarray] = None    # int64 [nse + 1]
+    leaf_csr_slots: Optional[np.ndarray] = None  # int32 [total cards]
 
     @property
     def nkmers(self) -> int:
@@ -102,7 +114,13 @@ class DeviceIndex:
         leaf_ses = ftree.leaf_ses()
         slot_of_se = {int(s): i for i, s in enumerate(leaf_ses)}
         rho_slot = colors.rho[leaf_ses]
-        se_mask = colors.leaf_masks(slot_of_se, len(leaf_ses))
+        S = len(leaf_ses)
+        se_mask = (colors.leaf_masks(slot_of_se, S)
+                   if (S + 31) // 32 <= MASK_W_CAP else None)
+        # leaf-slot CSR for the event probe's color decode
+        slot_map = np.full(colors.nnodes + 2, -1, np.int64)
+        slot_map[leaf_ses] = np.arange(S, dtype=np.int64)
+        leaf_csr_slots = slot_map[colors.leaf_list].astype(np.int32)
         return DeviceIndex(
             lsh=lsh, resident=resident, res_rank=res_rank, R=R,
             nrows_u=nrows_u, row_start=row_start,
@@ -110,7 +128,9 @@ class DeviceIndex:
             max_bucket=max_bucket, colors=colors, tree=tree, ftree=ftree,
             wbackbone=wbackbone, names=names, leaf_ses=leaf_ses,
             slot_of_se=slot_of_se, rho_slot=rho_slot, se_mask=se_mask,
-            info=info, row_ids=row_ids)
+            info=info, row_ids=row_ids,
+            leaf_csr_off=colors.leaf_off.astype(np.int64),
+            leaf_csr_slots=leaf_csr_slots)
 
     @staticmethod
     def from_built(built: BuiltIndex) -> "DeviceIndex":
@@ -133,12 +153,17 @@ def build_row_csr(urow_sorted: np.ndarray, nrows_u: int):
     urow_sorted: per-entry unified row, ascending. Returns
     (row_ids | None, row_start int64, max_bucket).
     """
-    if nrows_u <= SPARSE_ROW_THRESHOLD:
+    def dense():
         counts = np.bincount(urow_sorted, minlength=nrows_u)
         row_start = np.zeros(nrows_u + 1, np.int64)
         np.cumsum(counts, out=row_start[1:])
         return None, row_start, int(counts.max()) if len(counts) else 0
+
+    if nrows_u <= SPARSE_ROW_THRESHOLD:
+        return dense()
     row_ids, counts = np.unique(urow_sorted, return_counts=True)
+    if nrows_u <= DENSE_ROW_CAP and nrows_u <= 4 * len(row_ids):
+        return dense()
     row_start = np.zeros(len(row_ids) + 1, np.int64)
     np.cumsum(counts, out=row_start[1:])
     return (row_ids.astype(np.int64), row_start,

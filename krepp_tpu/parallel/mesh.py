@@ -1,11 +1,18 @@
 """Multi-chip sharded querying: LSH-row-sharded index + data-parallel reads.
 
 The reference is single-process OpenMP (ref: src/krepp.cpp:356-394); the
-TPU-native scale-out shards the flat CSR by unified-row blocks across the
-`shard` mesh axis (each probe's bucket lives entirely on one shard, so
-per-shard first-match histograms sum exactly) and shards read batches over
-the `data` axis. Collectives: psum of histogram partials and pmin of the
-global min-distance over `shard` — all riding ICI under one jit.
+TPU-native scale-out shards the flat CSR by contiguous unified-row blocks
+(balanced by ENTRY count, not row count) across the `shard` mesh axis — each
+probe's bucket lives entirely on one shard, so per-shard first-match
+histograms sum exactly — and shards read batches over the `data` axis.
+Collectives: psum of histogram partials and pmin of the global min-distance
+over `shard` — all riding ICI under one jit.
+
+Each shard carries the same hybrid bucket-row table + CSR heavy tail as the
+single-device engine (including the fused Pallas epilogue), so multi-chip
+inherits the fast probe rather than the scan-loop formulation. Sparse row
+spaces (h >= 13 default indexes, ref: src/krepp.hpp:47-58) shard their
+nonempty-row id table the same way and binary-search shard-locally.
 """
 
 from __future__ import annotations
@@ -17,10 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core import codec
 from ..index.index import DeviceIndex
-from ..query.engine import QueryEngine
+from ..query.engine import (QueryEngine, DIRECT_MEM_CAP, DENSE_SLOTS,
+                            build_hybrid_slots, hybrid_flavor)
 from ..query.bucket_scan import probe_strand, probe_strand_full
+
+INT32_SENTINEL = np.int32(2**31 - 1)
 
 
 def make_query_mesh(n_data: int, n_shard: int, devices=None) -> Mesh:
@@ -33,119 +42,196 @@ def make_query_mesh(n_data: int, n_shard: int, devices=None) -> Mesh:
 class ShardedQueryEngine(QueryEngine):
     """QueryEngine whose stage-1 probe runs under shard_map on a mesh.
 
-    Index rows are block-sharded over `shard`; reads over `data`; stage 2
-    runs on the replicated (psum-merged) histograms.
+    Index rows are block-sharded over `shard` (blocks balanced by entry
+    count); reads over `data`; stage 2 runs on the replicated (psum-merged)
+    histograms.
     """
 
     def __init__(self, dindex: DeviceIndex, mesh: Mesh, hdist_th: int = 4):
         self.mesh = mesh
         self.n_shard = mesh.shape["shard"]
         self.n_data = mesh.shape["data"]
-        self._build_shards(dindex)
         super().__init__(dindex, hdist_th)
         self._probe_jit = jax.jit(self._sharded_probe)
 
     def _init_tables(self, dindex: DeviceIndex) -> None:
-        """The probe reads the shard-placed arrays; no single-device table."""
-        self.mode = "sharded"
-        self._tables = ()
+        """Shard-placed arrays replace the single-device tables."""
         self._mask = jnp.asarray(dindex.se_mask)
+        self.W = dindex.se_mask.shape[1]
+        self._build_shards(dindex)
+        self._tables = ()
 
     def _build_shards(self, di: DeviceIndex) -> None:
-        if di.row_ids is not None:
-            raise NotImplementedError(
-                "sharded querying over sparse-row indexes (h >= 13 row "
-                "spaces) is not supported yet; use the single-device engine")
         D = self.n_shard
-        self.rows_per_shard = rps = (di.nrows_u + D - 1) // D
-        starts = di.row_start
-        # per-shard entry slices, padded to a common length
-        bounds = [(int(starts[min(s * rps, di.nrows_u)]),
-                   int(starts[min((s + 1) * rps, di.nrows_u)]))
-                  for s in range(D)]
-        maxlen = max(1, max(e - b for b, e in bounds))
-        enc_sh = np.zeros((D, maxlen), np.uint32)
-        se_sh = np.zeros((D, maxlen), np.int32)
-        row_sh = np.zeros((D, rps + 1), np.int64)
-        for s, (b, e) in enumerate(bounds):
-            enc_sh[s, : e - b] = di.enc_v[b:e]
-            se_sh[s, : e - b] = di.se_v[b:e]
-            lo = min(s * rps, di.nrows_u)
-            hi = min((s + 1) * rps, di.nrows_u)
+        W = self.W
+        self._dense_space = di.row_ids is None
+        starts = di.row_start.astype(np.int64)
+        ncontent = len(starts) - 1
+
+        # contiguous content-row blocks balanced by entry count
+        total = int(starts[-1])
+        targets = (np.arange(1, D, dtype=np.int64) * total) // max(D, 1)
+        cuts = np.searchsorted(starts, targets, side="left")
+        bnd = np.concatenate([[0], cuts, [ncontent]]).astype(np.int64)
+        bnd = np.maximum.accumulate(bnd)
+        self._row_bounds = bnd
+
+        # unified-row routing bounds per shard
+        if self._dense_space:
+            ulo = bnd.copy()
+            ulo[-1] = di.nrows_u
+        else:
+            rid = di.row_ids
+            ulo = np.zeros(D + 1, np.int64)
+            for s in range(1, D):
+                ulo[s] = rid[bnd[s]] if bnd[s] < ncontent else INT32_SENTINEL
+            ulo[-1] = INT32_SENTINEL
+        bounds = np.stack([ulo[:-1], ulo[1:]], axis=1).astype(np.int32)
+
+        maxrows = max(1, int(np.max(bnd[1:] - bnd[:-1])))
+        maxlen = max(1, int(np.max(starts[bnd[1:]] - starts[bnd[:-1]])))
+        enc_se = np.zeros((D, maxlen, 2), np.uint32)
+        row_sh = np.zeros((D, maxrows + 1), np.int32)
+        rid_sh = np.full((D, maxrows), INT32_SENTINEL, np.int32)
+        self.C0 = min(DENSE_SLOTS, max(1, di.max_bucket))
+        flavor = hybrid_flavor(maxrows + 1, di.max_bucket, W,
+                               DIRECT_MEM_CAP)
+        slot_blocks = []
+        for s in range(D):
+            lo, hi = int(bnd[s]), int(bnd[s + 1])
+            b, e = int(starts[lo]), int(starts[hi])
+            enc_se[s, : e - b, 0] = di.enc_v[b:e]
+            enc_se[s, : e - b, 1] = di.se_v[b:e].astype(np.uint32)
             seg = starts[lo: hi + 1] - b
             row_sh[s, : hi - lo + 1] = seg
             row_sh[s, hi - lo + 1:] = seg[-1] if len(seg) else 0
-        self._enc_shards = enc_sh
-        self._se_shards = se_sh
-        self._rowstart_shards = row_sh.astype(np.int32)
-        sh = NamedSharding(self.mesh, P("shard", None))
-        sh3 = NamedSharding(self.mesh, P("shard", None, None))
-        enc_se = np.stack([enc_sh, se_sh.astype(np.uint32)], axis=2)
-        self._enc_se_dev = jax.device_put(enc_se, sh3)
-        self._rowstart_dev = jax.device_put(self._rowstart_shards, sh)
+            if not self._dense_space:
+                rid_sh[s, : hi - lo] = di.row_ids[lo:hi]
+            if flavor is not None:
+                blk, _ = build_hybrid_slots(
+                    starts[lo: hi + 1] - b, di.enc_v[b:e], di.se_v[b:e],
+                    di.se_mask,
+                    (hi - lo) if self._dense_space else None,
+                    max(1, di.max_bucket), W, flavor=flavor)
+                slot_blocks.append(blk)
 
-    def _shard_probe_one(self, rix, res, valid, enc_se_s, rowstart_s,
-                         shard_id, exact):
-        """Bucket scan against this shard's rows only."""
-        m = self.lsh.m
-        R = self.di.R
-        rps = self.rows_per_shard
-        resident, rank = self._residue_maps(rix)
-        resident = resident & valid
-        urow = (rix // jnp.uint32(m)).astype(jnp.int32) * R + rank
-        mine = resident & (urow >= shard_id * rps) & (urow < (shard_id + 1) * rps)
-        lrow = jnp.where(mine, urow - shard_id * rps, 0)
-        start = rowstart_s[lrow]
-        cnt = jnp.where(mine, rowstart_s[lrow + 1] - start, 0)
-        if exact:
-            h, mn = probe_strand_full(enc_se_s, self._mask, self._expand,
-                                      start, cnt, res, self.th, self.W,
-                                      self.S, self.di.max_bucket)
-            return h, mn, jnp.bool_(False)
-        return probe_strand(enc_se_s, self._mask, self._expand, start, cnt,
-                            res, self.th, self.W, self.S, self.di.max_bucket)
+        sh1 = NamedSharding(self.mesh, P("shard", None))
+        sh2 = NamedSharding(self.mesh, P("shard", None, None))
+        self._enc_se_dev = jax.device_put(enc_se, sh2)
+        self._rowstart_dev = jax.device_put(row_sh, sh1)
+        self._bounds_dev = jax.device_put(bounds, sh1)
+        self._rowids_dev = (None if self._dense_space
+                            else jax.device_put(rid_sh, sh1))
+        if flavor is not None:
+            self.mode = "hybrid"
+            self.hflavor = flavor
+            nsrows = maxrows if self._dense_space else maxrows + 1
+            width = slot_blocks[0].shape[1]
+            slots = np.zeros((D, nsrows, width), np.uint32)
+            for s, blk in enumerate(slot_blocks):
+                slots[s, : blk.shape[0]] = blk
+            self._slots_dev = jax.device_put(slots, sh2)
+            self._zero_row = nsrows - 1  # all-zero on every shard
+        else:
+            self.mode = "csr"
+            self._slots_dev = None
 
-    def _probe_dispatch(self, tables, codes, lengths, exact: bool = False):
-        del tables  # shard-placed arrays are used instead
+    # ------------------------------------------------------- sharded probe
+    def _shard_route(self, urow, resident, bounds_s, rowids_s):
+        """Shard-local routing: urow -> (mine, sidx, hrow).
+
+        Dense row spaces translate urow to the local block offset; sparse
+        ones binary-search this shard's row-id slice, with misses sent to
+        the trailing all-zero slot row."""
+        ulo = bounds_s[0]
+        mine = resident & (urow >= ulo) & (urow < bounds_s[1])
+        if self._dense_space:
+            lrow = jnp.where(mine, urow - ulo, 0)
+            return mine, lrow, lrow
+        nnz = rowids_s.shape[0]
+        pos = jnp.searchsorted(rowids_s, urow).astype(jnp.int32)
+        posc = jnp.minimum(pos, nnz - 1)
+        found = mine & (rowids_s[posc] == urow)
+        sidx = jnp.where(found, posc, self._zero_row)
+        return found, sidx, posc
+
+    def _probe_dispatch(self, tables, codes, lengths, exact: bool = False,
+                        tier: int = 0):
+        del tables, tier  # shard-placed arrays; no event tiers here yet
         return self._sharded_probe(codes, lengths, exact)
 
     def _sharded_probe(self, codes, lengths, exact: bool = False):
-        lsh = self.lsh
-        k = lsh.k
         mesh = self.mesh
+        hybrid = self.mode == "hybrid" and not exact
 
-        def step(codes_l, lengths_l, enc_se_s, rowstart_s):
-            shard_id = jax.lax.axis_index("shard")
-            B, L = codes_l.shape
-            Pn = L - k + 1
-            t_idx = jnp.arange(Pn, dtype=jnp.int32)
-            rix_or, rix_rc, res_or, res_rc, valid_w = \
-                codec.strand_hashes_conv(codes_l, lsh)
-            valid = valid_w & (t_idx[None, :] <= lengths_l[:, None] - k)
-            onmers = jnp.sum(valid, axis=1, dtype=jnp.int32)
-            outs = []
-            ov = jnp.bool_(False)
-            for rix, res in ((rix_or, res_or), (rix_rc, res_rc)):
-                hist, minall, o = self._shard_probe_one(
-                    rix, res, valid, enc_se_s[0], rowstart_s[0], shard_id,
-                    exact)
-                # exact cross-shard merge: buckets are row-disjoint
-                hist = jax.lax.psum(hist, "shard")
-                minall = jax.lax.pmin(minall, "shard")
-                ov = ov | (jax.lax.pmax(o.astype(jnp.int32), "shard") > 0)
-                outs.append((hist, minall))
-            (hist_or, minall_or), (hist_rc, minall_rc) = outs
+        def step(codes_l, lengths_l, enc_se_s, rowstart_s, bounds_s,
+                 rowids_s, slots_s):
+            B = codes_l.shape[0]
+            rix2, res2, valid, onmers = self._strand_hashes(codes_l,
+                                                            lengths_l)
+            urow, resident = self._urow(rix2, valid[None])   # [2, B, P]
+            mine, sidx, hrow = self._shard_route(
+                urow, resident, bounds_s[0],
+                None if rowids_s is None else rowids_s[0])
+            if hybrid:
+                hist, minall, ov = self._hybrid_core(
+                    slots_s[0], enc_se_s[0], rowstart_s[0], self._mask,
+                    sidx, hrow, mine, res2, self.di.max_bucket)
+                hist = hist.reshape(2, B, self.S, self.th + 1)
+                minall = minall.reshape(2, B)
+                hists, minalls = (hist[0], hist[1]), (minall[0], minall[1])
+            else:
+                start = rowstart_s[0][hrow]
+                cnt = jnp.where(mine, rowstart_s[0][hrow + 1] - start, 0)
+                hists, minalls = [], []
+                ov = jnp.bool_(False)
+                for st in range(2):
+                    if exact:
+                        h, mn = probe_strand_full(
+                            enc_se_s[0], self._mask, self._expand, start[st],
+                            cnt[st], res2[st], self.th, self.W, self.S,
+                            self.di.max_bucket)
+                        o = jnp.bool_(False)
+                    else:
+                        h, mn, o = probe_strand(
+                            enc_se_s[0], self._mask, self._expand, start[st],
+                            cnt[st], res2[st], self.th, self.W, self.S,
+                            self.di.max_bucket)
+                    ov = ov | o
+                    hists.append(h)
+                    minalls.append(mn)
+            # exact cross-shard merge: buckets are row-disjoint
+            hist_or = jax.lax.psum(hists[0], "shard")
+            hist_rc = jax.lax.psum(hists[1], "shard")
+            minall_or = jax.lax.pmin(minalls[0], "shard")
+            minall_rc = jax.lax.pmin(minalls[1], "shard")
+            ov = jax.lax.pmax(ov.astype(jnp.int32), "shard") > 0
             ov_b = jnp.broadcast_to(ov, onmers.shape)
             return hist_or, hist_rc, minall_or, minall_rc, onmers, ov_b
 
+        in_specs = [P("data", None), P("data"), P("shard", None, None),
+                    P("shard", None), P("shard", None)]
+        args = [codes, lengths, self._enc_se_dev, self._rowstart_dev,
+                self._bounds_dev]
+        if self._rowids_dev is not None:
+            in_specs.append(P("shard", None))
+            args.append(self._rowids_dev)
+        else:
+            in_specs.append(None)
+            args.append(None)
+        if self._slots_dev is not None:
+            in_specs.append(P("shard", None, None))
+            args.append(self._slots_dev)
+        else:
+            in_specs.append(None)
+            args.append(None)
+
         fn = jax.shard_map(
-            step, mesh=mesh,
-            in_specs=(P("data", None), P("data"), P("shard", None, None),
-                      P("shard", None)),
+            step, mesh=mesh, in_specs=tuple(in_specs),
             out_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
                        P("data")),
             check_vma=False)
-        return fn(codes, lengths, self._enc_se_dev, self._rowstart_dev)
+        return fn(*args)
 
     def run_leaf_stage(self, codes: np.ndarray, lengths: np.ndarray,
                        leaf_ok: Optional[np.ndarray] = None):

@@ -69,6 +69,67 @@ DENSE_SLOTS = 2
 HEAVY_DIV = 16
 # HBM budget for the dense bucket-row table.
 DIRECT_MEM_CAP = 2 << 30
+# Embed the leaf bitmask next to each residual only while it is this narrow
+# (<= EMBED_W_CAP u32 words, i.e. <= 64 leaf slots); wider indexes store the
+# color id instead and gather the mask from the se table — one extra gather,
+# but the bucket-row table stays O(entries), independent of the leaf count.
+EMBED_W_CAP = 2
+# SeekEngine's direct table is full-width (no CSR heavy tail behind it), so
+# it only pays off for shallow sketches; deeper ones scan the CSR.
+SEEK_DIRECT_CAP = 16
+
+
+def hybrid_flavor(nrows: int, max_bucket: int, W: int,
+                  mem_cap: int = DIRECT_MEM_CAP) -> Optional[str]:
+    """Pick the hybrid bucket-row flavor that fits mem_cap (None if none)."""
+    C0 = min(DENSE_SLOTS, max(1, max_bucket))
+    if W <= EMBED_W_CAP and nrows * (1 + C0 * (1 + W)) * 4 <= mem_cap:
+        return "embed"
+    if nrows * (1 + 2 * C0) * 4 <= mem_cap:
+        return "se"
+    return None
+
+
+def build_hybrid_slots(row_start: np.ndarray, enc_v: np.ndarray,
+                       se_v: np.ndarray, se_mask: np.ndarray,
+                       nrows_dense, max_bucket: int, W: int,
+                       mem_cap: int = DIRECT_MEM_CAP,
+                       flavor: Optional[str] = None):
+    """Build the hybrid bucket-row table over one CSR (shared by the
+    single-device and per-shard table builds).
+
+    nrows_dense: the dense row count, or None for a sparse (nonempty-rows
+    + trailing zero row) table. flavor forces a layout (per-shard tables
+    must agree across shards). Returns (slots u32 [nrows, width], flavor)
+    or (None, None) when no flavor fits mem_cap."""
+    C0 = min(DENSE_SLOTS, max(1, max_bucket))
+    ncontent = len(row_start) - 1
+    nrows = ncontent if nrows_dense is not None else ncontent + 1
+    assert nrows_dense is None or nrows_dense == ncontent
+    if flavor is None:
+        flavor = hybrid_flavor(nrows, max_bucket, W, mem_cap)
+    if flavor is None:
+        return None, None
+    width = 1 + C0 * (1 + W) if flavor == "embed" else 1 + 2 * C0
+    counts = np.diff(row_start)
+    slots = np.zeros((nrows, width), np.uint32)
+    slots[:ncontent, 0] = counts.astype(np.uint32)
+    row_of = np.repeat(np.arange(ncontent, dtype=np.int64), counts)
+    j = (np.arange(len(enc_v), dtype=np.int64)
+         - np.repeat(row_start[:-1], counts))
+    first = j < C0
+    rows_d = row_of[first]
+    jd = j[first]
+    if flavor == "embed":
+        col = (1 + jd * (1 + W)).astype(np.int64)
+        slots[rows_d, col] = enc_v[first]
+        mask_rows = se_mask[se_v[first]]
+        for wd in range(W):
+            slots[rows_d, col + 1 + wd] = mask_rows[:, wd]
+    else:
+        slots[rows_d, 1 + jd] = enc_v[first]
+        slots[rows_d, 1 + C0 + jd] = se_v[first].astype(np.uint32)
+    return slots, flavor
 
 
 class QueryEngine:
@@ -93,7 +154,8 @@ class QueryEngine:
         self.th = int(hdist_th)
         self.lsh = dindex.lsh
         self.S = dindex.nleafslots
-        self.W = dindex.se_mask.shape[1]
+        self.W = (dindex.se_mask.shape[1] if dindex.se_mask is not None
+                  else (self.S + 31) // 32)
         self._rho_slot = jnp.asarray(dindex.rho_slot)
         self._expand = make_expander(self.S, self.W)
         self._llh = make_llh(self.lsh.k, self.lsh.h, self.th)
@@ -111,6 +173,10 @@ class QueryEngine:
         # tests flip _use_pallas on under the CPU backend; the kernel then
         # runs in the Pallas interpreter with identical semantics
         self._pallas_interpret = jax.default_backend() == "cpu"
+        # many-genome indexes skip the bitmask tables entirely and probe
+        # through match events (exact; parity-tested on forced small worlds)
+        self._use_event = (dindex.se_mask is None
+                           or bool(os.environ.get("KREPP_EVENT_PROBE")))
         self._init_tables(dindex)
         self._probe_jit = jax.jit(self._probe_impl)
         self._stage2_jit = jax.jit(self._stage2_impl)
@@ -122,9 +188,23 @@ class QueryEngine:
 
         Overridden by ShardedQueryEngine, which shards its own arrays."""
         csr = self._csr_arrays(dindex)
-        slots = self._build_hybrid_table(dindex)
+        if self._use_event:
+            self.mode = "event"
+            self.C0 = min(DENSE_SLOTS, max(1, dindex.max_bucket))
+            slots, _ = build_hybrid_slots(
+                dindex.row_start, dindex.enc_v, dindex.se_v, None,
+                dindex.nrows_u if dindex.row_ids is None else None,
+                max(1, dindex.max_bucket), self.W, flavor="se")
+            assert slots is not None, \
+                "bucket-row table exceeds the HBM cap; shard the index"
+            self._tables = (jnp.asarray(slots),) + csr[:3] + (
+                jnp.asarray(dindex.leaf_csr_off),
+                jnp.asarray(dindex.leaf_csr_slots))
+            return
+        slots, flavor = self._build_hybrid_table(dindex)
         if slots is not None:
             self.mode = "hybrid"
+            self.hflavor = flavor
             self.C0 = min(DENSE_SLOTS, max(1, dindex.max_bucket))
             self._tables = (jnp.asarray(slots),) + csr
         else:
@@ -140,33 +220,27 @@ class QueryEngine:
                    else dindex.row_ids.astype(np.int32))
         return (jnp.asarray(enc_se), jnp.asarray(row_start),
                 None if row_ids is None else jnp.asarray(row_ids),
-                jnp.asarray(dindex.se_mask))
+                None if dindex.se_mask is None
+                else jnp.asarray(dindex.se_mask))
 
     def _build_hybrid_table(self, di: DeviceIndex):
-        """[nrows_u, 1 + C0*(1+W)] u32 rows: count, then (enc, mask...) per
-        dense slot. Buckets deeper than C0 spill to the CSR heavy tail."""
-        if di.row_ids is not None:
-            return None
-        C0 = min(DENSE_SLOTS, max(1, di.max_bucket))
-        W = self.W
-        width = 1 + C0 * (1 + W)
-        if di.nrows_u * width * 4 > DIRECT_MEM_CAP:
-            return None
-        counts = np.diff(di.row_start)
-        slots = np.zeros((di.nrows_u, width), np.uint32)
-        slots[:, 0] = counts.astype(np.uint32)
-        dense = None
-        urow_of = np.repeat(np.arange(di.nrows_u, dtype=np.int64), counts)
-        j = (np.arange(len(di.enc_v), dtype=np.int64)
-             - np.repeat(di.row_start[:-1], counts))
-        dense = j < C0
-        col = (1 + j[dense] * (1 + W)).astype(np.int64)
-        rows_d = urow_of[dense]
-        slots[rows_d, col] = di.enc_v[dense]
-        mask_rows = di.se_mask[di.se_v[dense]]
-        for wd in range(W):
-            slots[rows_d, col + 1 + wd] = mask_rows[:, wd]
-        return slots
+        """Dense bucket-row table: one u32 row per (unified | nonempty) LSH
+        row; word 0 = count, then C0 slots. Two flavors:
+
+          'embed' — each slot is (enc, mask W words); one gather per probe.
+          'se'    — slots are enc * C0 then se * C0; the mask is gathered
+                    from the se table afterwards. Row width is independent
+                    of the leaf count, so wide indexes (many genomes) and
+                    huge row spaces stay within the HBM cap.
+
+        Sparse row spaces (di.row_ids set) build the table over nonempty
+        rows only, + one all-zero row at the end for missed probes; the
+        probe routes through a binary search of row_ids first.
+        Buckets deeper than C0 spill to the CSR heavy tail."""
+        return build_hybrid_slots(
+            di.row_start, di.enc_v, di.se_v, di.se_mask,
+            di.nrows_u if di.row_ids is None else None,
+            max(1, di.max_bucket), self.W)
 
     # ------------------------------------------------- residue select chains
     def _residue_maps(self, rix):
@@ -267,32 +341,50 @@ class QueryEngine:
         hist = jnp.stack(hists, axis=-1)                 # [N, S, X]
         return hist, minall
 
-    def _probe_hybrid(self, tables, codes, lengths):
-        """Dense-2 bucket-row probe + compacted CSR heavy tail, always exact
-        up to the top_k capacity (overflow flag -> exact full rescan).
+    def _route_rows(self, row_ids, urow, resident):
+        """urow -> (sidx into the slots table, hrow into row_start, found).
 
-        Semantics identical to the CSR scan: per-(read, position, leaf)
-        minimum Hamming distance histogram (ref: src/query.hpp:153-176).
-        The dense row carries a count word and the first DENSE_SLOTS
-        entries; probes hitting deeper buckets are excluded from the dense
-        pass and rescanned at full depth through the CSR."""
-        slots_d, enc_se, row_start, _row_ids, mask_tab = tables
+        Dense tables address slots/row_start by urow directly; sparse ones
+        binary-search the sorted nonempty-row ids, sending missed probes to
+        the table's trailing all-zero row."""
+        if row_ids is None:
+            return urow, urow, resident
+        nnz = row_ids.shape[0]
+        pos = jnp.searchsorted(row_ids, urow).astype(jnp.int32)
+        posc = jnp.minimum(pos, nnz - 1)
+        found = resident & (row_ids[posc] == urow)
+        sidx = jnp.where(found, posc, nnz)
+        return sidx, posc, found
+
+    def _hybrid_ent4(self, d, mask_tab, N, P):
+        """Slot row payload -> [N, P, C0, 1+W] (enc, mask words) entries."""
+        C0, W = self.C0, self.W
+        if self.hflavor == "embed":
+            return d[..., 1:].reshape(N, P, C0, 1 + W)
+        enc = d[..., 1: 1 + C0].reshape(N, P, C0)
+        se = d[..., 1 + C0:].reshape(N, P, C0).astype(jnp.int32)
+        return jnp.concatenate([enc[..., None], mask_tab[se]], axis=-1)
+
+    def _hybrid_core(self, slots_d, enc_se, row_start, mask_tab, sidx, hrow,
+                     resident, res2, max_bucket: int):
+        """Shared hybrid probe body over pre-routed rows.
+
+        sidx/hrow/resident/res2: [2, B, P]. Returns (hist [2B, S, X],
+        minall [2B], overflow). Used by the single-device probe and, with
+        shard-local routing, by each shard under shard_map."""
         th, W, S, C0 = self.th, self.W, self.S, self.C0
         X = th + 1
-        rix2, res2, valid, onmers = self._strand_hashes(codes, lengths)
-        urow, resident = self._urow(rix2, valid[None])   # [2, B, P]
-        d = slots_d[urow]                                # [2,B,P,1+C0(1+W)]
-        cnt = d[..., 0].astype(jnp.int32)
-        heavy = resident & (cnt > C0)
-        light = resident & jnp.logical_not(heavy)
-        B = codes.shape[0]
-        P = urow.shape[2]
+        _, B, P = sidx.shape
         N = 2 * B
-        ent4 = d[..., 1:].reshape(N, P, C0, 1 + W)
+        d = slots_d[sidx]                                # [2, B, P, width]
+        cnt = jnp.where(resident, d[..., 0].astype(jnp.int32), 0)
+        heavy = cnt > C0
+        light = resident & jnp.logical_not(heavy)
+        ent4 = self._hybrid_ent4(d, mask_tab, N, P)
         hist, minall = self._dense_epilogue(ent4, res2, light, B, P)
 
         overflow = jnp.bool_(False)
-        if self.di.max_bucket > C0:
+        if max_bucket > C0:
             Np = N * P
             K = min(Np, max(1024, Np // HEAVY_DIV))
             hf = heavy.reshape(Np)
@@ -303,8 +395,8 @@ class QueryEngine:
             hidx = hidx[order]
             seg = seg[order]
             live = hf[hidx]
-            hurow = urow.reshape(Np)[hidx]
-            hres = res2.reshape(Np)[hidx]
+            hurow = hrow.reshape(Np)[hidx]
+            hres = res2.reshape(N, P).reshape(Np)[hidx]
             start = row_start[hurow]
             hcnt = jnp.where(live, (row_start[hurow + 1] - start),
                              0).astype(jnp.int32)
@@ -312,7 +404,7 @@ class QueryEngine:
 
             Mm0 = jnp.zeros((X, K, W), jnp.uint32)
             gmin0 = jnp.full((K,), HD_SENTINEL, jnp.int32)
-            hmax = jnp.minimum(jnp.max(hcnt), self.di.max_bucket)
+            hmax = jnp.minimum(jnp.max(hcnt), max_bucket)
             Mm, hgmin = _scan_loop(enc_se, mask_tab, start,
                                    hcnt, hres, th, W, 0, hmax, Mm0, gmin0)
             seen = None
@@ -332,10 +424,57 @@ class QueryEngine:
             minh = jax.ops.segment_min(hgmin, seg, num_segments=N,
                                        indices_are_sorted=True)
             minall = jnp.minimum(minall, jnp.minimum(minh, HD_SENTINEL))
+        return hist, minall, overflow
 
-        hist = hist.reshape(2, B, S, X)
+    def _probe_hybrid(self, tables, codes, lengths):
+        """Dense-2 bucket-row probe + compacted CSR heavy tail, always exact
+        up to the top_k capacity (overflow flag -> exact full rescan).
+
+        Semantics identical to the CSR scan: per-(read, position, leaf)
+        minimum Hamming distance histogram (ref: src/query.hpp:153-176).
+        The dense row carries a count word and the first DENSE_SLOTS
+        entries; probes hitting deeper buckets are excluded from the dense
+        pass and rescanned at full depth through the CSR."""
+        slots_d, enc_se, row_start, row_ids, mask_tab = tables
+        rix2, res2, valid, onmers = self._strand_hashes(codes, lengths)
+        urow, resident = self._urow(rix2, valid[None])   # [2, B, P]
+        sidx, hrow, resident = self._route_rows(row_ids, urow, resident)
+        hist, minall, overflow = self._hybrid_core(
+            slots_d, enc_se, row_start, mask_tab, sidx, hrow, resident,
+            res2, self.di.max_bucket)
+        B = codes.shape[0]
+        hist = hist.reshape(2, B, self.S, self.th + 1)
         minall = minall.reshape(2, B)
         return (hist[0], hist[1], minall[0], minall[1], onmers, overflow)
+
+    def _event_caps(self, B: int, P: int, tier: int):
+        """Capacity tier for the event probe; each tier 16x the last.
+
+        Overflowing batches re-run at the next tier (fetch_prefetched), so
+        caps bound memory, never results."""
+        Np = 2 * B * P
+        E = min(8 << (2 * tier), max(self.di.max_bucket, 1))
+        KH = min(Np, max(1024, Np // HEAVY_DIV) << (2 * tier))
+        CAP_L = 2 * Np << (2 * tier)
+        return E, KH, CAP_L
+
+    def _probe_event(self, tables, codes, lengths, tier: int):
+        """Event-formulated probe (see event_probe.py): exact, O(S)-free."""
+        from .event_probe import event_probe
+
+        slots_d, enc_se, row_start, row_ids, leaf_off, leaf_slots = tables
+        rix2, res2, valid, onmers = self._strand_hashes(codes, lengths)
+        urow, resident = self._urow(rix2, valid[None])   # [2, B, P]
+        sidx, hrow, resident = self._route_rows(row_ids, urow, resident)
+        B, P = codes.shape[0], urow.shape[2]
+        E, KH, CAP_L = self._event_caps(B, P, tier)
+        hist, minall, ov = event_probe(
+            slots_d, enc_se, row_start, leaf_off, leaf_slots,
+            sidx, hrow, resident, res2, self.th, self.C0, self.S,
+            self.di.max_bucket, E, KH, CAP_L)
+        hist = hist.reshape(2, B, self.S, self.th + 1)
+        minall = minall.reshape(2, B)
+        return (hist[0], hist[1], minall[0], minall[1], onmers, ov)
 
     def _probe_csr_exact(self, tables, codes, lengths):
         """Exact full-depth CSR scan of every probe (overflow fallback)."""
@@ -355,7 +494,13 @@ class QueryEngine:
         return (hist[0], hist[1], minall[0], minall[1], onmers,
                 jnp.bool_(False))
 
-    def _probe_impl(self, tables, codes, lengths, exact: bool = False):
+    def _probe_impl(self, tables, codes, lengths, exact: bool = False,
+                    tier: int = 0):
+        if self.mode == "event":
+            # "exact" maps to a high capacity tier; true cap escalation is
+            # host-driven in fetch_prefetched
+            return self._probe_event(tables, codes, lengths,
+                                     max(tier, 2) if exact else tier)
         if self.mode == "hybrid":
             if exact:
                 return self._probe_csr_exact(tables, codes, lengths)
@@ -489,12 +634,14 @@ class QueryEngine:
         return (present, hist_f, d_f, v_f, mc_f, uc_f, rho,
                 best_slot, best_d, hist_c, uc_c, rho_c, v_c, ratio)
 
-    def _probe_dispatch(self, tables, codes, lengths, exact: bool = False):
+    def _probe_dispatch(self, tables, codes, lengths, exact: bool = False,
+                        tier: int = 0):
         """Overridden by ShardedQueryEngine (resolved at trace time)."""
-        return self._probe_impl(tables, codes, lengths, exact)
+        return self._probe_impl(tables, codes, lengths, exact, tier)
 
     def _full_impl(self, tables, packed, vbits, lengths, leaf_ok,
-                   exact: bool = False, out_mode: str = "full"):
+                   exact: bool = False, out_mode: str = "full",
+                   tier: int = 0):
         """Fused probe + stage 2 (single dispatch) over 2-bit-packed reads.
 
         out_mode selects the OUTPUT SET, which defines what the program
@@ -507,7 +654,7 @@ class QueryEngine:
         """
         L = packed.shape[1] * 16
         codes = codec.unpack_codes(packed, lengths, L, vbits)
-        probe_out = self._probe_dispatch(tables, codes, lengths, exact)
+        probe_out = self._probe_dispatch(tables, codes, lengths, exact, tier)
         out = self._stage2_impl(*probe_out[:5], leaf_ok)
         onmers, overflow = probe_out[4], probe_out[5]
         if out_mode in ("dist", "dist_ratio"):
@@ -531,14 +678,25 @@ class QueryEngine:
         return tuple(out) + (onmers, overflow)
 
     # -------------------------------------------------------------- public
-    def _get_full_jit(self, out_mode: str, exact: bool = False):
-        key = (out_mode, exact)
-        if not hasattr(self, "_full_jits"):
-            self._full_jits = {}
+    def _get_full_jit(self, out_mode: str, exact: bool = False,
+                      tier: int = 0):
+        key = (out_mode, exact, tier)
         if key not in self._full_jits:
             self._full_jits[key] = jax.jit(functools.partial(
-                self._full_impl, exact=exact, out_mode=out_mode))
+                self._full_impl, exact=exact, out_mode=out_mode, tier=tier))
         return self._full_jits[key]
+
+    def run_tier(self, codes, lengths, leaf_ok, tier: int,
+                 out_mode: str = "full"):
+        """Event-probe re-run at a larger capacity tier (overflow path)."""
+        if leaf_ok is None:
+            leaf_ok = np.ones(self.S, bool)
+        packed, vbits = codec.pack_codes_host(np.asarray(codes),
+                                              np.asarray(lengths))
+        return self._get_full_jit(out_mode, tier=tier)(
+            self._tables, jnp.asarray(packed),
+            None if vbits is None else jnp.asarray(vbits),
+            jnp.asarray(lengths), jnp.asarray(leaf_ok))
 
     def run_leaf_stage_async(self, codes: np.ndarray, lengths: np.ndarray,
                              leaf_ok: Optional[np.ndarray] = None,
@@ -713,7 +871,7 @@ class SeekEngine:
         self._run_jit = jax.jit(self._run_impl)
 
     def _build_direct_table(self, sk: DeviceSketch):
-        if sk.row_ids is not None or sk.max_bucket > DIRECT_CAP:
+        if sk.row_ids is not None or sk.max_bucket > SEEK_DIRECT_CAP:
             return None
         C0 = max(1, sk.max_bucket)
         if sk.nrows_u * (1 + C0) * 4 > DIRECT_MEM_CAP:

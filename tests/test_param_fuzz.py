@@ -25,7 +25,8 @@ CONFIGS = [
     dict(k=31, h=15, m=2, r=1, frac=True, w=37),    # k-h = 16: residual bit 31
     dict(k=19, h=3, m=2, r=0, frac=False, w=25),    # tiny hash space, no-frac
     dict(k=23, h=8, m=3, r=1, frac=True, w=29),     # odd modulus
-]
+    dict(k=29, h=13, m=4, r=1, frac=True, w=35),    # reference defaults
+]                                                   # (ref: src/krepp.hpp:47-58)
 
 
 @pytest.mark.parametrize("cfgi", range(len(CONFIGS)))

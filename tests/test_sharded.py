@@ -17,22 +17,27 @@ import worldgen
 from test_e2e_dist import write_world
 
 
-@pytest.fixture(scope="module")
-def world(tmp_path_factory):
+@pytest.fixture(scope="module", params=[11, 13], ids=["h11-dense", "h13-sparse"])
+def world(request, tmp_path_factory):
+    h = request.param
     rng = np.random.default_rng(31)
     tmp = tmp_path_factory.mktemp("sh")
     nwk, genomes = worldgen.make_world(rng, nleaves=6, glen=1500, rate=0.05)
     input_map = write_world(tmp, genomes)
-    params = IndexParams(lsh=LSHParams.generate(27, 11, 4, seed=6),
+    k = 27 if h == 11 else 29
+    params = IndexParams(lsh=LSHParams.generate(k, h, 4, seed=6),
                          w=35, r=1, frac=True)
     tree = Tree.parse(nwk)
     built = build_index(input_map, params, tree, progress=False)
     di = DeviceIndex.from_built(built)
+    # h=13 must exercise the sparse-row (binary-searched) layout — the
+    # reference's default row space (ref: src/krepp.hpp:47-58)
+    assert (di.row_ids is not None) == (h == 13)
     reads = worldgen.sample_reads(rng, genomes, n=11, mut=0.05)
     return di, reads
 
 
-@pytest.mark.parametrize("n_data,n_shard", [(1, 8), (2, 4), (4, 2), (8, 1)])
+@pytest.mark.parametrize("n_data,n_shard", [(1, 8), (2, 4), (8, 1)])
 def test_sharded_equals_single(world, n_data, n_shard):
     di, reads = world
     assert len(jax.devices()) >= 8, "need 8 virtual CPU devices"
@@ -41,6 +46,7 @@ def test_sharded_equals_single(world, n_data, n_shard):
     e0 = QueryEngine(di, 4)
     lr0 = e0.run_leaf_stage(codes, lengths)
     e1 = ShardedQueryEngine(di, mesh, 4)
+    assert e1.mode == "hybrid", "sharded engine must take the fast path"
     lr1 = e1.run_leaf_stage(codes, lengths)
     assert np.array_equal(lr0.present, lr1.present)
     assert np.array_equal(lr0.hist, lr1.hist)
