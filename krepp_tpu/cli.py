@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
     add_lsh_opts(sc, 29, "k-16")
     sc.add_argument("--export-reference-format", action="store_true",
                     help="Also write the reference binary artifact files.")
+    sc.add_argument("--mesh", type=int, default=0, dest="mesh",
+                    help="Winnow genomes data-parallel across this many "
+                         "devices (0 = sequential single-device build).")
 
     sc = add_sub("dist",
                  help="Estimate distances of queries to genomes in an index.")
@@ -247,8 +250,16 @@ def cmd_index(args):
         tree = Tree.parse(open(args.nwk_file).read())
         tree.nwk_str = open(args.nwk_file).read()
     print("Building the index...", file=sys.stderr)
-    built = build_index(input_map, params, tree,
-                        num_threads=max(1, args.num_threads))
+    if getattr(args, "mesh", 0):
+        import jax
+
+        from .parallel.build import build_index_sharded
+
+        built = build_index_sharded(input_map, params, tree,
+                                    devices=jax.devices()[: args.mesh])
+    else:
+        built = build_index(input_map, params, tree,
+                            num_threads=max(1, args.num_threads))
     print(f"\nTotal number of k-mers indexed: {built.nkmers}", file=sys.stderr)
     artifact.save_native(built, args.index_dir, seed=args.seed or 0)
     if args.export_reference_format:

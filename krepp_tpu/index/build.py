@@ -103,6 +103,17 @@ def build_index(input_map: Sequence[Tuple[str, str]], params: IndexParams,
                                     progress, num_threads=num_threads)
 
 
+def _prepare_tree(names: List[str], tree: Optional[Tree]):
+    if tree is None:
+        print("No tree has given as a guide, the color index could be suboptimal.",
+              file=sys.stderr)
+        tree = Tree.generate(names)
+    ftree = FlatTree.from_tree(tree)
+    leaf_se = {ftree.names[se]: se for se in range(1, ftree.nnodes + 1)
+               if ftree.is_leaf[se]}
+    return tree, ftree, leaf_se
+
+
 def build_index_from_sources(names: List[str], contig_source,
                              params: IndexParams, tree: Optional[Tree] = None,
                              progress: bool = True,
@@ -112,19 +123,8 @@ def build_index_from_sources(names: List[str], contig_source,
     num_threads > 1 prefetches genome files with a host thread pool while
     the device winnows (the device work itself serializes on one chip).
     """
-    if tree is None:
-        print("No tree has given as a guide, the color index could be suboptimal.",
-              file=sys.stderr)
-        tree = Tree.generate(names)
-    ftree = FlatTree.from_tree(tree)
-    leaf_se = {ftree.names[se]: se for se in range(1, ftree.nnodes + 1)
-               if ftree.is_leaf[se]}
+    tree, ftree, leaf_se = _prepare_tree(names, tree)
 
-    all_rows: List[np.ndarray] = []
-    all_res: List[np.ndarray] = []
-    all_leaf: List[np.ndarray] = []
-    rho = np.zeros(ftree.nnodes + 1)
-    count = 0
     fetched = {}
     if num_threads > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -132,26 +132,53 @@ def build_index_from_sources(names: List[str], contig_source,
         pool = ThreadPoolExecutor(num_threads)
         fetched = {n: pool.submit(lambda n=n: list(contig_source[n]()))
                    for n in names if n in contig_source}
-    for name in names:
-        count += 1
+
+    def extracted():
+        count = 0
+        for name in names:
+            count += 1
+            if leaf_se.get(name) is None:
+                continue
+            if name not in contig_source:
+                if progress:
+                    print(f"Genome skipped: {name}", file=sys.stderr)
+                continue
+            contigs = (fetched[name].result() if name in fetched
+                       else contig_source[name]())
+            rows, res, g_rho = _extract_genome(contigs, params)
+            if progress:
+                print(f"Leaf node: {name}\tsize: {len(rows)}\t"
+                      f"progress: {count}/{ftree.nnodes}", file=sys.stderr)
+            yield name, rows, res, g_rho
+
+    return build_index_from_extracted(names, extracted(), params, tree,
+                                      ftree, leaf_se)
+
+
+def build_index_from_extracted(names: List[str], extracted,
+                               params: IndexParams, tree: Tree,
+                               ftree: Optional[FlatTree] = None,
+                               leaf_se=None) -> BuiltIndex:
+    """Merge + color pre-winnowed genomes.
+
+    extracted yields (name, rows, res, rho) per genome — the seam between
+    the (sequential | mesh-sharded) winnowing front ends and the shared
+    sort-and-group union."""
+    if ftree is None:
+        tree, ftree, leaf_se = _prepare_tree(names, tree)
+    all_rows: List[np.ndarray] = []
+    all_res: List[np.ndarray] = []
+    all_leaf: List[np.ndarray] = []
+    rho = np.zeros(ftree.nnodes + 1)
+    for name, rows, res, g_rho in extracted:
         se = leaf_se.get(name)
         if se is None:
             continue
-        if name not in contig_source:
-            if progress:
-                print(f"Genome skipped: {name}", file=sys.stderr)
-            continue
-        contigs = (fetched[name].result() if name in fetched
-                   else contig_source[name]())
-        rows, res, g_rho = _extract_genome(contigs, params)
         rows, res = _dedupe_genome(rows, res)
         rho[se] = g_rho
         all_rows.append(rows)
         all_res.append(res)
         all_leaf.append(np.full(len(rows), se, np.int32))
-        if progress:
-            print(f"Leaf node: {name}\tsize: {len(rows)}\t"
-                  f"progress: {count}/{ftree.nnodes}", file=sys.stderr)
 
     # leaves present in the tree but not in the input map contribute nothing
     rows = np.concatenate(all_rows) if all_rows else np.empty(0, np.uint32)

@@ -9,14 +9,14 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Dict, List, Optional, TextIO
+from typing import List, Optional, TextIO
 
 import numpy as np
 
 from ..core.codec import pad_codes_batch
 from ..index.index import DeviceIndex
 from ..io.fastx import QueryBatcher
-from ..reports import dist_header, fmt5
+from ..reports import dist_header, fmt5, fmt5_array
 from .engine import QueryEngine
 
 
@@ -53,8 +53,7 @@ def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
     out.write(dist_header(invocation, cfg.summarize))
     leaf_names = [dindex.ftree.names[se] for se in dindex.leaf_ses]
     total = 0
-    wcount: Dict[int, float] = {}
-    twcount = 0.0
+    wcount = np.zeros(len(leaf_names))
 
     from collections import deque
 
@@ -74,7 +73,8 @@ def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
             lr.ratio = engine.compute_ratio_host(lr)
         _report_batch(lr, names_b, leaf_names, cfg, out, wcount)
 
-    for names, seqs in QueryBatcher(query_path, bp_limit=cfg.batch_bp):
+    batch_bp = min(cfg.batch_bp, engine.suggested_batch_reads() * 150)
+    for names, seqs in QueryBatcher(query_path, bp_limit=batch_bp):
         total += len(names)
         codes, lengths = pad_codes_batch(
             seqs, pad_to=_bucket_len(max(len(s) for s in seqs)))
@@ -85,37 +85,56 @@ def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
     while pending:
         flush_one()
     if cfg.summarize:
-        twcount = sum(wcount.values())
-        for slot in sorted(wcount):
+        twcount = wcount.sum()
+        for slot in np.flatnonzero(wcount):
             w = wcount[slot]
             out.write(f"{leaf_names[slot]}\t{fmt5(w)}\t{fmt5(w / twcount)}\n")
     return total
 
 
 def _report_batch(lr, names: List[str], leaf_names: List[str],
-                  cfg: DistConfig, out: TextIO, wcount: Dict[int, float]):
+                  cfg: DistConfig, out: TextIO, wcount: np.ndarray):
+    """Bulk row emission: one numpy pass + one write per batch.
+
+    Semantics identical to the reference's per-read loop
+    (ref: src/query.cpp:158-196); rows come out (read-major, slot-minor) in
+    the same order because np.nonzero is row-major."""
     B, S = lr.present.shape
     dist_max = cfg.dist_max
     no_dmax = math.isnan(dist_max)
-    for b in range(B):
-        slots = np.flatnonzero(lr.present[b])
-        if cfg.summarize:
-            # (ref: src/query.cpp:160-171): chisq filter always applies
-            sel = [s for s in slots
-                   if lr.ratio[b, s] < cfg.chisq_value
-                   and (no_dmax or lr.d[b, s] < dist_max)]
-            for s in sel:
-                wcount[s] = wcount.get(s, 0.0) + 1.0 / len(sel)
-            continue
-        if len(slots) == 0 or (not no_dmax and lr.closest_d[b] > dist_max):
-            out.write(f"{names[b]}\tNA\tNaN\n")
-            continue
-        if cfg.multi:
-            for s in slots:
-                if not cfg.no_filter and not (lr.ratio[b, s] < cfg.chisq_value):
-                    continue
-                if no_dmax or lr.d[b, s] < dist_max:
-                    out.write(f"{names[b]}\t{leaf_names[s]}\t{fmt5(lr.d[b, s])}\n")
-        else:
-            s = int(lr.closest_slot[b])
-            out.write(f"{names[b]}\t{leaf_names[s]}\t{fmt5(lr.closest_d[b])}\n")
+    names_a = np.asarray(names, dtype=object)
+    if cfg.summarize:
+        # (ref: src/query.cpp:160-171): chisq filter always applies
+        sel = lr.present & (lr.ratio < cfg.chisq_value)
+        if not no_dmax:
+            sel &= lr.d < dist_max
+        cnt = sel.sum(axis=1)
+        w = np.zeros(B)
+        np.divide(1.0, cnt, out=w, where=cnt > 0)
+        bs, ss = np.nonzero(sel)
+        np.add.at(wcount, ss, w[bs])
+        return
+    leaf_a = np.asarray(leaf_names, dtype=object)
+    na = ~lr.present.any(axis=1)
+    if not no_dmax:
+        na |= lr.closest_d > dist_max
+    if cfg.multi:
+        sel = lr.present & ~na[:, None]
+        if not cfg.no_filter:
+            sel &= lr.ratio < cfg.chisq_value
+        if not no_dmax:
+            sel &= lr.d < dist_max
+        bs, ss = np.nonzero(sel)
+        rows = (names_a[bs] + "\t" + leaf_a[ss] + "\t"
+                + fmt5_array(lr.d[bs, ss]) + "\n")
+    else:
+        bs = np.flatnonzero(~na)
+        ss = lr.closest_slot[bs]
+        rows = (names_a[bs] + "\t" + leaf_a[ss] + "\t"
+                + fmt5_array(lr.closest_d[bs]) + "\n")
+    na_b = np.flatnonzero(na)
+    if len(na_b):
+        na_rows = names_a[na_b] + "\tNA\tNaN\n"
+        order = np.argsort(np.concatenate([bs, na_b]), kind="stable")
+        rows = np.concatenate([rows, na_rows])[order]
+    out.write("".join(rows.tolist()))

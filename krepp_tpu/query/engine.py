@@ -678,6 +678,15 @@ class QueryEngine:
         return tuple(out) + (onmers, overflow)
 
     # -------------------------------------------------------------- public
+    def suggested_batch_reads(self, place: bool = False) -> int:
+        """Reads per device batch keeping the dense per-(read, leaf) stage-2
+        state (and stage-3 per-(read, tree-node) state for place) under
+        ~1 GB of HBM. Many-genome indexes thus trade batch size for leaf
+        count instead of overflowing; the event probe keeps the stage-1 cost
+        independent of S either way."""
+        per_read = (256 if place else 128) * max(self.S, 1)
+        return max(256, (1 << 30) // per_read)
+
     def _get_full_jit(self, out_mode: str, exact: bool = False,
                       tier: int = 0):
         key = (out_mode, exact, tier)
@@ -741,14 +750,26 @@ class QueryEngine:
         fetch_over = (out_mode in ("dist", "dist_ratio")
                       and bool(np.asarray(fetched[-2])))
         if probe_over or fetch_over:
-            # heavy-tail probe overflow -> exact full-depth rescan; compact-
-            # fetch overflow (reads matching > K/B references) -> full fetch
+            # heavy-tail probe overflow -> exact full-depth rescan (event
+            # mode: capacity-tier escalation); compact-fetch overflow (reads
+            # matching > K/B references) -> full fetch
             assert codes is not None, "overflow fallback needs the batch codes"
-            run = self.run_exact if probe_over else (
-                lambda c, l, ok, out_mode: self.run_leaf_stage_async(
-                    c, l, ok, out_mode=out_mode))
-            fetched = jax.device_get(tuple(run(
-                codes, lengths, leaf_ok, out_mode="full")))
+            if probe_over and self.mode == "event":
+                for tier in (1, 2, 3):
+                    fetched = jax.device_get(tuple(self.run_tier(
+                        codes, lengths, leaf_ok, tier)))
+                    if not bool(np.asarray(fetched[-1])):
+                        break
+                else:
+                    raise RuntimeError(
+                        "event-probe capacity tiers exhausted; the batch is "
+                        "pathologically match-dense — reduce the batch size")
+            else:
+                run = self.run_exact if probe_over else (
+                    lambda c, l, ok, out_mode: self.run_leaf_stage_async(
+                        c, l, ok, out_mode=out_mode))
+                fetched = jax.device_get(tuple(run(
+                    codes, lengths, leaf_ok, out_mode="full")))
             out_mode = "full"
         fetched = fetched[:-1]
         if out_mode in ("dist", "dist_ratio"):

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import Dict, List, Optional, TextIO
+from typing import List, Optional, TextIO
 
 import jax
 import jax.numpy as jnp
@@ -20,8 +20,8 @@ from ..core.codec import pad_codes_batch
 from ..core.llh import brent_on_mask, F
 from ..index.index import DeviceIndex, PlacementView
 from ..io.fastx import QueryBatcher
-from ..reports import (begin_jplace, end_jplace, fmt5, jplace_fields,
-                       jukes_cantor, place_header)
+from ..reports import (begin_jplace, end_jplace, fmt5, fmt5_array,
+                       jplace_fields, jukes_cantor, place_header)
 from .engine import QueryEngine, LeafResults
 from .dist import _bucket_len
 
@@ -185,7 +185,7 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
     names_q = qflat.names
     total = 0
     has_previous = False
-    wcount: Dict[int, float] = {}
+    wcount = np.zeros(qflat.nnodes + 1)
 
     from collections import deque
 
@@ -197,8 +197,12 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
         fetched = jax.device_get(tuple(dev))
         if bool(np.any(fetched[-1])):
             # heavy-tail overflow: redo this batch with the exact scan
+            # (event mode: the high capacity tier)
             fetched = jax.device_get(tuple(agg.run_place_exact(
                 codes_b, lengths_b, leaf_ok)))
+            if bool(np.any(fetched[-1])):
+                raise RuntimeError("probe overflow persisted in the exact "
+                                   "re-run; reduce the batch size")
         (present, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
          d_q, v_q, support, leq_gt1, onmers, _ov) = fetched
         lr = LeafResults(
@@ -211,7 +215,9 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
             lr, names_b, pv, cfg, out, wcount, has_previous,
             d_q, v_q, support, leq_gt1, chisq_q)
 
-    for names, seqs in QueryBatcher(query_path, bp_limit=cfg.batch_bp):
+    batch_bp = min(cfg.batch_bp,
+                   engine.suggested_batch_reads(place=True) * 150)
+    for names, seqs in QueryBatcher(query_path, bp_limit=batch_bp):
         total += len(names)
         codes, lengths = pad_codes_batch(
             seqs, pad_to=_bucket_len(max(len(s) for s in seqs)))
@@ -222,8 +228,8 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
     while pending:
         flush_one()
     if cfg.summarize:
-        twcount = sum(wcount.values())
-        for q in sorted(wcount):
+        twcount = wcount.sum()
+        for q in np.flatnonzero(wcount):
             w = wcount[q]
             nm = names_q[q] if names_q[q] else "NA"
             out.write(f"{nm}\t{q - 1}\t{fmt5(w)}\t{fmt5(w / twcount)}\n")
@@ -237,84 +243,113 @@ def _jplace_row(qflat, q: int, d: float, v: float, lwr: float) -> str:
     return jplace_fields(q - 1, jukes_cantor(d) - pend, pend, -v, lwr, d)
 
 
+def _jplace_rows_bulk(qflat, qs: np.ndarray, d: np.ndarray, v: np.ndarray,
+                      lwr: np.ndarray) -> np.ndarray:
+    """Vectorized _jplace_row over candidate arrays -> object str array."""
+    blen = qflat.blen[qs]
+    pend = np.where(np.isnan(blen), 0.0, blen / 2.0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        jc = -0.75 * np.log(1.0 - (4.0 / 3.0) * d)
+    en = (qs - 1).astype(str).astype(object)
+    return ("[" + en + ", " + fmt5_array(jc - pend) + ", " + fmt5_array(pend)
+            + ", " + fmt5_array(-v) + ", " + fmt5_array(lwr) + ", "
+            + fmt5_array(d) + "]")
+
+
 def _report_batch(lr: LeafResults, names: List[str], pv: PlacementView,
-                  cfg: PlaceConfig, out: TextIO, wcount: Dict[int, float],
+                  cfg: PlaceConfig, out: TextIO, wcount: np.ndarray,
                   has_previous: bool,
                   d_q, v_q, support, leq_gt1, chisq_q) -> bool:
-    """(ref: src/query.cpp:218-333)."""
+    """Bulk-vectorized report pass (ref: src/query.cpp:218-333).
+
+    All numerics (candidate masks, LWR normalisation, row strings) are
+    computed batch-wide; only the jplace per-read nesting walks reads, and
+    only the emitted ones."""
     qflat = pv.qflat
     B = lr.present.shape[0]
     tau = cfg.tau
-    for b in range(B):
-        n_pres = int(lr.present[b].sum())
-        closest_leq_tau = float(lr.hist_closest[b, : tau + 1].sum())
-        if n_pres == 0 or not (cfg.no_filter or closest_leq_tau > 1.0):
-            continue
-        if n_pres == 1:
-            s = int(lr.closest_slot[b])
-            q = int(pv.leaf_qse[s])
-            d = float(lr.closest_d[b])
-            v = float(lr.v_closest[b])
-            if cfg.summarize:
-                wcount[q] = wcount.get(q, 0.0) + 1.0
-            elif cfg.tabular:
-                nm = qflat.names[q] if qflat.names[q] else "NA"
-                out.write(f"{names[b]}\t{nm}\t{q - 1}\t{fmt5(1.0)}\t{fmt5(d)}\n")
-            else:
-                if has_previous:
-                    out.write(",\n")
-                out.write(f'\t\t\t{{"n" : ["{names[b]}"], "p" : [')
-                out.write(_jplace_row(qflat, q, d, v, 1.0) + "]}")
-                has_previous = True
-            continue
+    names_a = np.asarray(names, dtype=object)
 
-        # candidate collection (ref: src/query.cpp:268-281)
-        cand_mask = (support[b] & pv.candidate_ok
-                     & (qflat.parent != 0))
-        cand_mask &= cfg.no_filter | leq_gt1[b]
-        cand_mask &= chisq_q[b] < cfg.chisq_value
-        cand = np.flatnonzero(cand_mask)
-        lwr = np.exp(-chisq_q[b, cand] / 2.0)
-        total_lwr = float(lwr.sum())
+    n_pres = lr.present.sum(axis=1)
+    leq_tau_c = lr.hist_closest[:, : tau + 1].sum(axis=1)
+    active = (n_pres > 0) & (cfg.no_filter | (leq_tau_c > 1.0))
+    single = active & (n_pres == 1)
+    multi_r = active & (n_pres > 1)
 
+    # single-match reads place on the closest leaf's edge with LWR 1
+    sb = np.flatnonzero(single)
+    s_q = pv.leaf_qse[lr.closest_slot[sb]].astype(np.int64)
+    s_d = lr.closest_d[sb]
+    s_v = lr.v_closest[sb]
+
+    # candidate collection (ref: src/query.cpp:268-281)
+    cand = support & pv.candidate_ok[None, :] & (qflat.parent != 0)[None, :]
+    if not cfg.no_filter:
+        cand &= leq_gt1
+    cand &= chisq_q < cfg.chisq_value
+    cand &= multi_r[:, None]
+    cb, cq = np.nonzero(cand)
+    lwr = np.exp(-chisq_q[cb, cq] / 2.0)
+    tot = np.bincount(cb, weights=lwr, minlength=B)
+    counts = np.bincount(cb, minlength=B)
+    cd = d_q[cb, cq]
+    cv = v_q[cb, cq]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cw = lwr / tot[cb]
+
+    if not cfg.multi and len(cb):
+        # best by highest card, then lowest distance, then highest edge id
+        # — the last element of the reference's stable (card, -d) sort
+        # (ref: src/query.cpp:312-319)
+        order = np.lexsort((-cq, cd, -qflat.card[cq], cb))
+        _, first = np.unique(cb[order], return_index=True)
+        pick = order[first]
+        cb, cq, cd, cv, cw = cb[pick], cq[pick], cd[pick], cv[pick], cw[pick]
+        counts = np.minimum(counts, 1)
+
+    if cfg.summarize:
+        np.add.at(wcount, s_q, 1.0)
         if cfg.multi:
-            if cfg.summarize:
-                for q in cand:
-                    wcount[int(q)] = wcount.get(int(q), 0.0) + 1.0 / len(cand)
-            elif cfg.tabular:
-                for i, q in enumerate(cand):
-                    nm = qflat.names[q] if qflat.names[q] else "NA"
-                    out.write(f"{names[b]}\t{nm}\t{q - 1}\t"
-                              f"{fmt5(lwr[i] / total_lwr)}\t{fmt5(d_q[b, q])}\n")
-            else:
-                if has_previous:
-                    out.write(",\n")
-                out.write(f'\t\t\t{{"n" : ["{names[b]}"], "p" : [')
-                rows = [
-                    "\n\t\t\t\t" + _jplace_row(qflat, int(q), float(d_q[b, q]),
-                                               float(v_q[b, q]),
-                                               float(lwr[i] / total_lwr))
-                    for i, q in enumerate(cand)]
-                out.write(",".join(rows))
-                out.write("]\n\t\t\t}")
-                has_previous = True
+            with np.errstate(divide="ignore"):
+                np.add.at(wcount, cq, 1.0 / counts[cb])
         else:
-            # best by highest card, then lowest distance (ref: src/query.cpp:312-319)
-            order = sorted(range(len(cand)),
-                           key=lambda i: (qflat.card[cand[i]], -d_q[b, cand[i]]))
-            i = order[-1]
-            q = int(cand[i])
-            w = float(lwr[i] / total_lwr)
-            if cfg.summarize:
-                wcount[q] = wcount.get(q, 0.0) + 1.0
-            elif cfg.tabular:
-                nm = qflat.names[q] if qflat.names[q] else "NA"
-                out.write(f"{names[b]}\t{nm}\t{q - 1}\t{fmt5(w)}\t{fmt5(d_q[b, q])}\n")
-            else:
-                if has_previous:
-                    out.write(",\n")
-                out.write(f'\t\t\t{{"n" : ["{names[b]}"], "p" : [')
-                out.write(_jplace_row(qflat, q, float(d_q[b, q]),
-                                      float(v_q[b, q]), w) + "]}")
-                has_previous = True
+            np.add.at(wcount, cq, 1.0)
+        return has_previous
+
+    if cfg.tabular:
+        qn = np.asarray([x if x else "NA" for x in qflat.names], object)
+        srows = (names_a[sb] + "\t" + qn[s_q] + "\t"
+                 + (s_q - 1).astype(str).astype(object) + "\t1.00000\t"
+                 + fmt5_array(s_d) + "\n")
+        crows = (names_a[cb] + "\t" + qn[cq] + "\t"
+                 + (cq - 1).astype(str).astype(object) + "\t"
+                 + fmt5_array(cw) + "\t" + fmt5_array(cd) + "\n")
+        order = np.argsort(np.concatenate([sb, cb]), kind="stable")
+        out.write("".join(np.concatenate([srows, crows])[order].tolist()))
+        return has_previous
+
+    # jplace: vectorized row strings, per-read nesting over emitted reads
+    srows = _jplace_rows_bulk(qflat, s_q, s_d, s_v, np.ones(len(sb)))
+    crows = _jplace_rows_bulk(qflat, cq, cd, cv, cw)
+    starts = np.searchsorted(cb, np.arange(B))
+    ends = np.searchsorted(cb, np.arange(B) + 1)
+    s_of = np.full(B, -1, np.int64)
+    s_of[sb] = np.arange(len(sb))
+    parts: List[str] = []
+    for b in np.flatnonzero(active):
+        if single[b]:
+            body = srows[s_of[b]] + "]}"
+        elif cfg.multi:
+            body = (",".join("\n\t\t\t\t" + r
+                             for r in crows[starts[b]: ends[b]])
+                    + "]\n\t\t\t}")
+        elif ends[b] > starts[b]:
+            body = crows[starts[b]] + "]}"
+        else:
+            continue
+        if has_previous:
+            parts.append(",\n")
+        parts.append(f'\t\t\t{{"n" : ["{names[b]}"], "p" : [' + body)
+        has_previous = True
+    out.write("".join(parts))
     return has_previous

@@ -9,6 +9,9 @@ diff-based parity checks see identical framing.
 from __future__ import annotations
 
 import math
+
+import numpy as np
+
 from . import REFERENCE_VERSION
 
 
@@ -17,6 +20,18 @@ def fmt5(x: float) -> str:
     if math.isnan(x):
         return "nan"
     return f"{x:.5f}"
+
+
+def fmt5_array(x: np.ndarray) -> np.ndarray:
+    """Vectorized fmt5: f64 array -> object array of '%.5f' strings.
+
+    One C-level sprintf per element instead of a Python f-string — the bulk
+    row emitters build whole report batches from these."""
+    out = np.char.mod("%.5f", np.asarray(x, np.float64)).astype(object)
+    nan = np.isnan(x)
+    if nan.any():
+        out[nan] = "nan"
+    return out
 
 
 def dist_header(invocation: str, summarize: bool) -> str:
