@@ -1,16 +1,25 @@
-"""Benchmark: dist reads/s on the current JAX backend (TPU under the driver).
+"""Benchmark: krepp-tpu throughput on the current JAX backend.
 
-Builds a synthetic 12-genome index in memory, streams mutated 150 bp read
-batches through the full dist leaf stage (probe + histogram + batched Brent
-ML), and prints ONE JSON line:
+Primary metric (one JSON line, driver contract):
 
   {"metric": "dist_reads_per_s", "value": N, "unit": "reads/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "extras": {...}}
 
 vs_baseline = TPU reads/s over the same engine run on one CPU host process
 (the reference binary cannot be compiled in this image — its submodules and
 toy genomes are stripped — so the CPU run of this engine is the stand-in;
-see BASELINE.md).
+see BASELINE.md). The CPU baseline is measured twice and the max is taken;
+a warning is printed if it falls below the historically observed floor
+(3000 reads/s), so a contended-host collapse can't silently inflate the
+speedup again (BENCH_r02 regression).
+
+extras (each guarded by a wall-clock deadline; missing = skipped):
+  build_kmers_per_s        index build throughput (BASELINE.json metric)
+  dist_big_reads_per_s     dist at reference defaults (k=29 h=13) over a
+                           ~25M-k-mer (~1 GB device tables) index
+  dist_1k_reads_per_s      dist over a 1000-genome index (event probe)
+  place_reads_per_s        full placement pipeline reads/s
+  cpu_reads_per_s          the pinned CPU baseline
 """
 
 from __future__ import annotations
@@ -23,116 +32,179 @@ import time
 
 import numpy as np
 
+DEADLINE_S = float(os.environ.get("KREPP_BENCH_DEADLINE", 2400))
+T_START = time.time()
+CPU_FLOOR = 3000.0
 
-def fast_reads(rng, genomes, n, rlen=150, mut=0.05):
-    from krepp_tpu.testing import sample_read_codes
+CONFIGS = {
+    # name: (seed, nleaves, glen, k, h, w, m)
+    "base": (7, 24, 500_000, 27, 11, 35, 4),
+    "big": (11, 24, 12_500_000, 29, 13, 35, 4),
+    "1k": (13, 1000, 250_000, 29, 13, 35, 4),
+}
 
-    return sample_read_codes(rng, genomes, n, rlen=rlen, mut=mut)
+
+def _cache_dir(name):
+    s = CONFIGS[name]
+    return os.path.expanduser(
+        "~/.cache/krepp_tpu_bench/idx-" + "-".join(str(x) for x in s))
 
 
-def ensure_index(cache: str, seed: int, nleaves: int, glen: int) -> None:
-    """Build the bench index in a CPU-backend subprocess.
+def time_left():
+    return DEADLINE_S - (time.time() - T_START)
 
-    The dist throughput being measured never includes the build; building in
-    a CPU subprocess keeps the (cold, minutes-long) TPU compile of the
-    winnowing program out of the bench entirely.
-    """
+
+def ensure_index(name) -> float:
+    """Build the bench index in a CPU subprocess (native winnower; keeps
+    TPU compiles and build RAM out of the measured process).
+
+    Returns build k-mers/s when the build ran now, else 0 (cached)."""
+    cache = _cache_dir(name)
     if os.path.exists(os.path.join(cache, "meta.json")):
-        return
+        return 0.0
+    seed, nleaves, glen, k, h, w, m = CONFIGS[name]
     code = (
+        "import time, json, sys\n"
         "from krepp_tpu import configure; configure()\n"
         "from krepp_tpu.testing import build_world_index\n"
         "from krepp_tpu.index import artifact\n"
+        "t0 = time.time()\n"
         f"built, _, _ = build_world_index(seed={seed}, nleaves={nleaves}, "
-        f"glen={glen}, rate=0.05)\n"
+        f"glen={glen}, rate=0.05, k={k}, h={h}, w={w}, m={m})\n"
+        "dt = time.time() - t0\n"
         f"artifact.save_native(built, {cache!r})\n"
+        "print(json.dumps({'kmers': built.nkmers, 'secs': dt}))\n"
     )
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     t0 = time.time()
-    subprocess.run([sys.executable, "-c", code], check=True, env=env,
-                   cwd=os.path.dirname(os.path.abspath(__file__)))
-    print(f"[bench] index built (cpu subprocess) in {time.time() - t0:.1f}s",
-          file=sys.stderr)
+    out = subprocess.run([sys.executable, "-c", code], check=True, env=env,
+                         capture_output=True, text=True,
+                         cwd=os.path.dirname(os.path.abspath(__file__)))
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    rate = stats["kmers"] / stats["secs"]
+    print(f"[bench] index '{name}' built: {stats['kmers']} k-mers in "
+          f"{stats['secs']:.1f}s = {rate:.0f} kmers/s "
+          f"(total subprocess {time.time() - t0:.1f}s)", file=sys.stderr)
+    return rate
 
 
-def run_bench(n_batches: int, batch: int = 16384, seed: int = 7,
-              nleaves: int = 24, glen: int = 500_000):
-    import jax
-
-    from krepp_tpu import configure
-
-    configure()
+def load_engine(name, hdist_th=4):
+    from krepp_tpu.index import artifact
     from krepp_tpu.index.index import DeviceIndex
     from krepp_tpu.query.engine import QueryEngine
 
-    from krepp_tpu.index import artifact
-    from krepp_tpu.testing import make_world_codes
-
-    cache = os.path.expanduser(
-        f"~/.cache/krepp_tpu_bench/idx-{seed}-{nleaves}-{glen}")
-    ensure_index(cache, seed, nleaves, glen)
     t0 = time.time()
-    built = artifact.load_native(cache)
+    built = artifact.load_native(_cache_dir(name))
+    di = DeviceIndex.from_built(built)
+    engine = QueryEngine(di, hdist_th=hdist_th)
+    print(f"[bench] '{name}' loaded in {time.time() - t0:.1f}s "
+          f"({built.nkmers} k-mers, mode={engine.mode}, S={engine.S})",
+          file=sys.stderr)
+    return engine
+
+
+def world_reads(name, n, rlen=150, mut=0.05):
+    from krepp_tpu.testing import make_world_codes, sample_read_codes
+
+    seed, nleaves, glen, *_ = CONFIGS[name]
     rng0 = np.random.default_rng(seed)
     _nwk, genomes = make_world_codes(rng0, nleaves=nleaves, glen=glen,
                                      rate=0.05)
-    print(f"[bench] index loaded in {time.time() - t0:.1f}s "
-          f"({built.nkmers} k-mers)", file=sys.stderr)
-    di = DeviceIndex.from_built(built)
-    engine = QueryEngine(di, hdist_th=4)
-
     rng = np.random.default_rng(seed + 1)
-    rlen = 150
-    codes = fast_reads(rng, genomes, batch * (n_batches + 2), rlen=rlen)
-    lengths = np.full(batch, rlen, np.int32)
-    batches = [codes[i * batch:(i + 1) * batch] for i in range(n_batches + 2)]
+    return sample_read_codes(rng, genomes, n, rlen=rlen, mut=mut)
 
-    # warmup / compile
-    def one(batch):
+
+def dist_throughput(engine, codes, batch, n_batches, label="", repeats=2):
+    """Pipelined dist leaf-stage reads/s (3 batches in flight, compact
+    fetch — the same path the dist driver runs).
+
+    The measurement repeats and reports the best run: both the shared TPU
+    pool and this 2-core host show multi-x run-to-run contention noise, and
+    the best run approximates uncontended capability (BASELINE.md)."""
+    from collections import deque
+
+    import jax
+
+    rlen = codes.shape[1]
+    lengths = np.full(batch, rlen, np.int32)
+    batches = [codes[i * batch:(i + 1) * batch]
+               for i in range(n_batches + 2)]
+    leaf_ok = np.ones(engine.S, bool)
+
+    def one(b):
         return engine.fetch_leaf_stage(
-            engine.run_leaf_stage_async(batch, lengths, out_mode="dist"),
-            lengths, out_mode="dist")
+            engine.run_leaf_stage_async(b, lengths, leaf_ok,
+                                        out_mode="dist"),
+            lengths, codes=b, leaf_ok=leaf_ok, out_mode="dist")
 
     lr = one(batches[0])
     lr = one(batches[1])
-    print(f"[bench] warmup done; present frac "
+    print(f"[bench] {label} warmup done; present frac "
           f"{lr.present.any(axis=1).mean():.2f}", file=sys.stderr)
-
-    # measure the pipelined path (3 batches in flight, like the drivers);
-    # the shared TPU pool is contended, so also report per-window numbers
-    from collections import deque
-
-    leaf_ok = np.ones(engine.S, bool)
-    t0 = time.time()
-    pending = deque()
-    for i in range(2, n_batches + 2):
-        pending.append(engine.run_leaf_stage_async(batches[i], lengths,
-                                                   leaf_ok, out_mode="dist"))
-        if len(pending) >= 3:
-            engine.fetch_leaf_stage(pending.popleft(), lengths,
+    best = 0.0
+    for rep in range(repeats):
+        pending = deque()
+        t0 = time.time()
+        for i in range(2, n_batches + 2):
+            pending.append((batches[i], engine.run_leaf_stage_async(
+                batches[i], lengths, leaf_ok, out_mode="dist")))
+            if len(pending) >= 3:
+                b, dev = pending.popleft()
+                engine.fetch_leaf_stage(dev, lengths, codes=b,
+                                        leaf_ok=leaf_ok, out_mode="dist")
+        while pending:
+            b, dev = pending.popleft()
+            engine.fetch_leaf_stage(dev, lengths, codes=b, leaf_ok=leaf_ok,
                                     out_mode="dist")
-    while pending:
-        engine.fetch_leaf_stage(pending.popleft(), lengths, out_mode="dist")
+        elapsed = time.time() - t0
+        best = max(best, batch * n_batches / elapsed)
+    print(f"[bench] {label}: {batch * n_batches} reads, best of {repeats} "
+          f"-> {best:.0f} reads/s on {jax.devices()[0]}", file=sys.stderr)
+    return best
+
+
+def place_throughput(name, n_batches=4, batch=4096):
+    """Full place pipeline (probe + stage2 + tree aggregation + report)."""
+    import io
+
+    from krepp_tpu.index import artifact
+    from krepp_tpu.index.index import DeviceIndex
+    from krepp_tpu.query.place import run_place, PlaceConfig
+
+    built = artifact.load_native(_cache_dir(name))
+    di = DeviceIndex.from_built(built)
+    codes = world_reads(name, batch * (n_batches + 1))
+    import tempfile
+
+    qdir = tempfile.mkdtemp(prefix="krepp_bench_")
+    qpath = os.path.join(qdir, "q.fq")
+    bases = np.array(list("ACGT"))
+    with open(qpath, "w") as f:
+        for i in range(codes.shape[0]):
+            s = "".join(bases[codes[i]])
+            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+    out = io.StringIO()
+    cfg = PlaceConfig(batch_bp=batch * 150)
+    t0 = time.time()
+    n = run_place(di, qpath, out, "bench", cfg)
     elapsed = time.time() - t0
-    reads_per_s = batch * n_batches / elapsed
-    print(f"[bench] {batch * n_batches} reads in {elapsed:.2f}s pipelined -> "
-          f"{reads_per_s:.0f} reads/s on {jax.devices()[0]}", file=sys.stderr)
-    return reads_per_s
+    # subtract nothing: this includes compile of the first batch; report
+    # the steady half instead by re-running once more
+    out2 = io.StringIO()
+    t0 = time.time()
+    n = run_place(di, qpath, out2, "bench", cfg)
+    elapsed = time.time() - t0
+    rate = n / elapsed
+    print(f"[bench] place: {n} reads in {elapsed:.2f}s -> {rate:.0f} reads/s"
+          f" ({len(out2.getvalue())} bytes jplace)", file=sys.stderr)
+    os.unlink(qpath)
+    return rate
 
 
-def main():
-    if "--cpu-baseline" in sys.argv:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-        v = run_bench(n_batches=4, batch=2048)
-        print(json.dumps({"cpu_reads_per_s": v}))
-        return
-
-    value = run_bench(n_batches=8)
-
-    vs_baseline = 1.0
-    try:
+def cpu_baseline():
+    """Pinned CPU baseline: two runs, max, floor check."""
+    best = 0.0
+    for rep in range(2):
         env = dict(os.environ)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
@@ -140,15 +212,94 @@ def main():
             cwd=os.path.dirname(os.path.abspath(__file__)))
         for line in out.stdout.splitlines():
             if line.startswith("{"):
-                cpu_v = json.loads(line)["cpu_reads_per_s"]
+                v = json.loads(line)["cpu_reads_per_s"]
+                print(f"[bench] cpu baseline run {rep}: {v:.0f} reads/s",
+                      file=sys.stderr)
+                best = max(best, v)
+    if best and best < CPU_FLOOR:
+        print(f"[bench] WARNING: cpu baseline {best:.0f} reads/s is below "
+              f"the historical floor {CPU_FLOOR:.0f} — host is likely "
+              "contended; speedup may be overstated", file=sys.stderr)
+    return best
+
+
+def main():
+    if "--cpu-baseline" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from krepp_tpu import configure
+
+        configure()
+        ensure_index("base")
+        engine = load_engine("base")
+        codes = world_reads("base", 2048 * 6)
+        v = dist_throughput(engine, codes, 2048, 4, label="cpu")
+        print(json.dumps({"cpu_reads_per_s": round(v, 1)}))
+        return
+
+    from krepp_tpu import configure
+
+    configure()
+    extras = {}
+
+    # ---- build throughput (host native path; also primes the caches)
+    rate = ensure_index("base")
+    if rate:
+        extras["build_kmers_per_s"] = round(rate, 0)
+
+    # ---- primary: dist on the base (h=11) world
+    engine = load_engine("base")
+    codes = world_reads("base", 16384 * 10)
+    value = dist_throughput(engine, codes, 16384, 8, label="dist base")
+    del engine
+
+    # ---- extras under the deadline
+    try:
+        if time_left() > 600:
+            r = ensure_index("big")
+            if r:
+                extras["build_kmers_per_s"] = round(r, 0)
+            engine = load_engine("big")
+            codes = world_reads("big", 16384 * 6)
+            extras["dist_big_reads_per_s"] = round(dist_throughput(
+                engine, codes, 16384, 4, label="dist big(h13)"), 1)
+            del engine
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] big-index bench failed: {e}", file=sys.stderr)
+    try:
+        if time_left() > 500:
+            ensure_index("1k")
+            engine = load_engine("1k")
+            b = min(8192, engine.suggested_batch_reads())
+            codes = world_reads("1k", b * 6)
+            extras["dist_1k_reads_per_s"] = round(dist_throughput(
+                engine, codes, b, 4, label="dist 1k-genome"), 1)
+            del engine
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] 1k-genome bench failed: {e}", file=sys.stderr)
+    try:
+        if time_left() > 400:
+            extras["place_reads_per_s"] = round(
+                place_throughput("base"), 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] place bench failed: {e}", file=sys.stderr)
+
+    vs_baseline = 1.0
+    try:
+        if time_left() > 120:
+            cpu_v = cpu_baseline()
+            if cpu_v:
+                extras["cpu_reads_per_s"] = round(cpu_v, 1)
                 vs_baseline = value / cpu_v
-                print(f"[bench] cpu baseline {cpu_v:.0f} reads/s -> "
-                      f"speedup {vs_baseline:.2f}x", file=sys.stderr)
+                print(f"[bench] speedup vs cpu: {vs_baseline:.2f}x",
+                      file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
 
     print(json.dumps({"metric": "dist_reads_per_s", "value": round(value, 1),
-                      "unit": "reads/s", "vs_baseline": round(vs_baseline, 3)}))
+                      "unit": "reads/s", "vs_baseline": round(vs_baseline, 3),
+                      "extras": extras}))
 
 
 if __name__ == "__main__":

@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--mesh", type=int, default=0, dest="mesh",
                     help="Winnow genomes data-parallel across this many "
                          "devices (0 = sequential single-device build).")
+    sc.add_argument("--partial", action="store_true",
+                    help="Write a suffixed partial artifact so independently"
+                         " built residues (e.g. -r 0/-r 1 with --no-frac) "
+                         "can share one directory and combine at load.")
 
     sc = add_sub("dist",
                  help="Estimate distances of queries to genomes in an index.")
@@ -178,7 +182,8 @@ def _load_index(index_dir: str):
 
     from .index import artifact
 
-    if os.path.exists(os.path.join(index_dir, "meta.json")):
+    if (os.path.exists(os.path.join(index_dir, "meta.json"))
+            or artifact._scan_native_partials(index_dir)):
         return artifact.load_native_device(index_dir)
     return artifact.load_index_reference(index_dir)
 
@@ -261,7 +266,8 @@ def cmd_index(args):
         built = build_index(input_map, params, tree,
                             num_threads=max(1, args.num_threads))
     print(f"\nTotal number of k-mers indexed: {built.nkmers}", file=sys.stderr)
-    artifact.save_native(built, args.index_dir, seed=args.seed or 0)
+    artifact.save_native(built, args.index_dir, seed=args.seed or 0,
+                         partial=getattr(args, "partial", False))
     if args.export_reference_format:
         artifact.save_index_reference(built, args.index_dir,
                                       seed=args.seed or 0)

@@ -32,9 +32,16 @@ FORMAT_VERSION = 1
 
 # ============================================================ native format
 
-def save_native(built: BuiltIndex, index_dir: str, seed: int = 0) -> None:
+def save_native(built: BuiltIndex, index_dir: str, seed: int = 0,
+                partial: bool = False) -> None:
+    """Write the native artifact. partial=True writes suffixed files
+    (meta-m{m}r{r}-{frac}.json + arrays-*.npz) so independently built
+    residue partials can share one directory and combine at load — the
+    native equivalent of the reference's partial workflow
+    (ref: src/krepp.cpp:66-108)."""
     os.makedirs(index_dir, exist_ok=True)
     p = built.params
+    sfx = p.suffix if partial else ""
     meta = {
         "format_version": FORMAT_VERSION,
         "software": "krepp-tpu",
@@ -48,10 +55,10 @@ def save_native(built: BuiltIndex, index_dir: str, seed: int = 0) -> None:
         "names": built.names,
         "wbackbone": built.tree is not None,
     }
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+    with open(os.path.join(index_dir, f"meta{sfx}.json"), "w") as f:
         json.dump(meta, f, indent=1)
     np.savez_compressed(
-        os.path.join(index_dir, "arrays.npz"),
+        os.path.join(index_dir, f"arrays{sfx}.npz"),
         enc_v=built.enc_v, se_v=built.se_v, inc=built.inc,
         leaf_off=built.colors.leaf_off, leaf_list=built.colors.leaf_list,
         rho=built.colors.rho)
@@ -62,35 +69,73 @@ def save_native(built: BuiltIndex, index_dir: str, seed: int = 0) -> None:
         f.write("\n".join(built.names) + "\n")
 
 
-def load_native(index_dir: str) -> BuiltIndex:
-    with open(os.path.join(index_dir, "meta.json")) as f:
+def _load_native_partial(index_dir: str, sfx: str = ""):
+    with open(os.path.join(index_dir, f"meta{sfx}.json")) as f:
         meta = json.load(f)
     lsh = LSHParams(k=meta["k"], h=meta["h"], m=meta["m"],
                     ppos=tuple(meta["ppos"]), npos=tuple(meta["npos"]))
     params = IndexParams(lsh=lsh, w=meta["w"], r=meta["r"], frac=meta["frac"],
                          sdust_t=meta["sdust_t"], sdust_w=meta["sdust_w"])
-    z = np.load(os.path.join(index_dir, "arrays.npz"))
-    tree = None
-    tpath = os.path.join(index_dir, "tree.nwk")
-    if meta.get("wbackbone") and os.path.exists(tpath):
-        tree = Tree.parse(open(tpath).read())
-    elif not meta.get("wbackbone"):
-        tree = Tree.generate(meta["names"])
+    z = np.load(os.path.join(index_dir, f"arrays{sfx}.npz"))
     colors = ColorTable(nnodes=meta["nnodes"], nse=meta["nse"],
                         leaf_off=z["leaf_off"], leaf_list=z["leaf_list"],
                         rho=z["rho"])
+    return meta, params, z, colors
+
+
+def _native_tree(index_dir: str, meta: dict) -> Optional[Tree]:
+    tpath = os.path.join(index_dir, "tree.nwk")
+    if meta.get("wbackbone") and os.path.exists(tpath):
+        tree = Tree.parse(open(tpath).read())
+        tree.nwk_str = open(tpath).read()
+        return tree
+    if not meta.get("wbackbone"):
+        return Tree.generate(meta["names"])
+    return None
+
+
+def load_native(index_dir: str) -> BuiltIndex:
+    meta, params, z, colors = _load_native_partial(index_dir)
+    tree = _native_tree(index_dir, meta)
     ftree = FlatTree.from_tree(tree)
     return BuiltIndex(params=params, tree=tree, names=meta["names"],
                       enc_v=z["enc_v"], se_v=z["se_v"], inc=z["inc"],
                       colors=colors, ftree=ftree)
 
 
+def _scan_native_partials(index_dir: str) -> List[str]:
+    return sorted(fn[len("meta"): -len(".json")]
+                  for fn in os.listdir(index_dir)
+                  if fn.startswith("meta-") and fn.endswith(".json"))
+
+
 def load_native_device(index_dir: str) -> DeviceIndex:
-    built = load_native(index_dir)
-    with open(os.path.join(index_dir, "meta.json")) as f:
-        meta = json.load(f)
-    di = DeviceIndex.from_built(built)
-    di.wbackbone = bool(meta.get("wbackbone"))
+    """Load a native index directory: one meta.json partial, or several
+    suffixed partials combined exactly like the reference's multi-partial
+    workflow (ref: src/krepp.cpp:66-108, src/index.cpp:144-158)."""
+    sfxs = _scan_native_partials(index_dir)
+    if not sfxs:
+        built = load_native(index_dir)
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        di = DeviceIndex.from_built(built)
+        di.wbackbone = bool(meta.get("wbackbone"))
+        return di
+    partials = []
+    names: List[str] = []
+    wbackbone = False
+    tree: Optional[Tree] = None
+    for sfx in sfxs:
+        meta, params, z, colors = _load_native_partial(index_dir, sfx)
+        names = meta["names"]
+        wbackbone = wbackbone or bool(meta.get("wbackbone"))
+        if tree is None:
+            tree = _native_tree(index_dir, meta)
+        g_rows = _local_rows_to_global(z["inc"].astype(np.int64), params)
+        partials.append((params, g_rows, z["enc_v"],
+                         z["se_v"].astype(np.int64), colors))
+    di = _merge_partials(partials, tree, names, wbackbone)
+    di.wbackbone = wbackbone
     return di
 
 
@@ -280,6 +325,87 @@ def _scan_reference_dir(index_dir: str) -> Dict[str, set]:
     return suffix_to_ltype
 
 
+def _check_partials_compatible(paramss: List[IndexParams]) -> None:
+    """LSHF compatibility across partials (ref: src/lshf.cpp:159-180,
+    src/index.cpp:75-86): k, h, m and the position draws must agree."""
+    p0 = paramss[0].lsh
+    for p in paramss[1:]:
+        q = p.lsh
+        if not (q.k == p0.k and q.h == p0.h and q.m == p0.m
+                and tuple(q.ppos) == tuple(p0.ppos)
+                and tuple(q.npos) == tuple(p0.npos)):
+            raise ValueError(
+                "Partial libraries have incompatible hash functions!")
+
+
+def _merge_partials(partials, tree: Tree, names: List[str],
+                    wbackbone: bool) -> DeviceIndex:
+    """Merge loaded partials into one unified DeviceIndex.
+
+    partials: list of (params, g_rows, enc, se, ColorTable). Tree-node
+    color ids are shared; composite ids are remapped by leaf set. The
+    partial-rho coefficient |residues|/m is applied by from_parts
+    (ref: src/index.cpp:144-158,188-201)."""
+    import sys
+
+    _check_partials_compatible([p[0] for p in partials])
+    ftree = FlatTree.from_tree(tree)
+    nnodes = ftree.nnodes
+    all_rows, all_enc, all_se = [], [], []
+    residues: set = set()
+    merged_sets: Dict[Tuple[int, ...], int] = {}
+    merged_list: List[Tuple[int, ...]] = []
+    rho_merged: Optional[np.ndarray] = None
+    for params, g_rows, enc, se, part_colors in partials:
+        if params.frac:
+            residues.update(range(params.r + 1))
+        else:
+            residues.add(params.r)
+        rho_p = np.zeros(nnodes + 1)
+        rho_p[: min(len(part_colors.rho), nnodes + 1)] = \
+            part_colors.rho[: nnodes + 1]
+        if rho_merged is None:
+            rho_merged = rho_p
+        elif not np.allclose(rho_merged, rho_p, rtol=1e-6, atol=1e-12,
+                             equal_nan=True):
+            # the genome-level winnowing ratio is residue-independent, so
+            # same-build partials agree; a mismatch means mixed builds
+            print("WARNING: partial indexes carry different subsampling "
+                  "rates (rho); using the first partial's values",
+                  file=sys.stderr)
+        remap = np.arange(part_colors.nse, dtype=np.int64)
+        for cse in range(nnodes + 1, part_colors.nse):
+            ls = tuple(part_colors.leaves_of(cse).tolist())
+            if ls not in merged_sets:
+                merged_sets[ls] = nnodes + 1 + len(merged_list)
+                merged_list.append(ls)
+            remap[cse] = merged_sets[ls]
+        all_rows.append(g_rows)
+        all_enc.append(enc)
+        all_se.append(remap[se.astype(np.int64)])
+
+    nse = nnodes + 1 + len(merged_list)
+    off = np.zeros(nse + 1, np.int64)
+    sets: List[Tuple[int, ...]] = [()] * nse
+    for se in range(1, nnodes + 1):
+        sets[se] = ftree.clade_leafset(se)
+    for i, s in enumerate(merged_list):
+        sets[nnodes + 1 + i] = s
+    for se in range(nse):
+        off[se + 1] = off[se] + len(sets[se])
+    flat = np.empty(off[-1], np.int32)
+    for se in range(nse):
+        flat[off[se]: off[se + 1]] = sets[se]
+    colors = ColorTable(nnodes=nnodes, nse=nse, leaf_off=off, leaf_list=flat,
+                        rho=rho_merged)
+    lsh = partials[0][0].lsh
+    entries = (np.concatenate(all_rows),
+               np.concatenate(all_enc).astype(np.uint32),
+               np.concatenate(all_se).astype(np.int32))
+    return DeviceIndex.from_parts(lsh, sorted(residues), entries, colors,
+                                  tree, names, wbackbone)
+
+
 def load_index_reference(index_dir: str) -> DeviceIndex:
     """Load a (possibly multi-partial) reference-format index directory."""
     groups = _scan_reference_dir(index_dir)
@@ -322,49 +448,11 @@ def load_index_reference(index_dir: str) -> DeviceIndex:
         partials.append((params, pairs, inc, pse, rho))
 
     ftree = FlatTree.from_tree(tree)
-    # merge partials: tree-node ids shared; composite ids remapped
-    all_rows, all_enc, all_se = [], [], []
-    residues: set = set()
-    nnodes = ftree.nnodes
-    merged_sets: Dict[Tuple[int, ...], int] = {}
-    merged_list: List[Tuple[int, ...]] = []
-    rho_merged = np.zeros(nnodes + 1)
+    merged = []
     for params, pairs, inc, pse, rho in partials:
-        if params.frac:
-            residues.update(range(params.r + 1))
-        else:
-            residues.add(params.r)
-        rho_merged[: len(rho)] = rho[: nnodes + 1]
-        part_colors = colors_from_pse(nnodes, pse, ftree, rho[: nnodes + 1])
-        remap = np.arange(part_colors.nse, dtype=np.int64)
-        for se in range(nnodes + 1, part_colors.nse):
-            ls = tuple(part_colors.leaves_of(se).tolist())
-            if ls not in merged_sets:
-                merged_sets[ls] = nnodes + 1 + len(merged_list)
-                merged_list.append(ls)
-            remap[se] = merged_sets[ls]
+        part_colors = colors_from_pse(ftree.nnodes, pse, ftree,
+                                      rho[: ftree.nnodes + 1])
         g_rows = _local_rows_to_global(inc, params)
-        all_rows.append(g_rows)
-        all_enc.append(pairs[:, 0])
-        all_se.append(remap[pairs[:, 1].astype(np.int64)])
-
-    nse = nnodes + 1 + len(merged_list)
-    off = np.zeros(nse + 1, np.int64)
-    sets: List[Tuple[int, ...]] = [()] * nse
-    for se in range(1, nnodes + 1):
-        sets[se] = ftree.clade_leafset(se)
-    for i, s in enumerate(merged_list):
-        sets[nnodes + 1 + i] = s
-    for se in range(nse):
-        off[se + 1] = off[se] + len(sets[se])
-    flat = np.empty(off[-1], np.int32)
-    for se in range(nse):
-        flat[off[se]: off[se + 1]] = sets[se]
-    colors = ColorTable(nnodes=nnodes, nse=nse, leaf_off=off, leaf_list=flat,
-                        rho=rho_merged)
-    lsh = partials[0][0].lsh
-    entries = (np.concatenate(all_rows),
-               np.concatenate(all_enc).astype(np.uint32),
-               np.concatenate(all_se).astype(np.int32))
-    return DeviceIndex.from_parts(lsh, sorted(residues), entries, colors,
-                                  tree, names, wbackbone)
+        merged.append((params, g_rows, pairs[:, 0],
+                       pairs[:, 1].astype(np.int64), part_colors))
+    return _merge_partials(merged, tree, names, wbackbone)

@@ -108,7 +108,11 @@ class DeviceIndex:
         row_ids, row_start, max_bucket = build_row_csr(urow, nrows_u)
 
         if not rho_applied:
-            colors.apply_rho_coef(R / m)
+            # never mutate the caller's ColorTable: a BuiltIndex may feed
+            # several DeviceIndexes (the coefficient must not compound)
+            import dataclasses
+
+            colors = dataclasses.replace(colors, rho=colors.rho * (R / m))
 
         ftree = FlatTree.from_tree(tree) if tree is not None else None
         leaf_ses = ftree.leaf_ses()

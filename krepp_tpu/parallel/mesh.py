@@ -54,11 +54,22 @@ class ShardedQueryEngine(QueryEngine):
         super().__init__(dindex, hdist_th)
         self._probe_jit = jax.jit(self._sharded_probe)
 
+    def _put(self, x: np.ndarray, sharding):
+        """Place a host array on the mesh (overridden for multi-host,
+        where non-addressable shards must come from a callback)."""
+        return jax.device_put(x, sharding)
+
     def _init_tables(self, dindex: DeviceIndex) -> None:
         """Shard-placed arrays replace the single-device tables."""
-        self._mask = jnp.asarray(dindex.se_mask)
+        if dindex.se_mask is None:
+            raise NotImplementedError(
+                "sharded querying over event-mode (many-genome) indexes is "
+                "not wired yet; use the single-device engine")
         self.W = dindex.se_mask.shape[1]
         self._build_shards(dindex)
+        self._mask_dev = self._put(
+            np.asarray(dindex.se_mask),
+            NamedSharding(self.mesh, P(None, None)))
         self._tables = ()
 
     def _build_shards(self, di: DeviceIndex) -> None:
@@ -117,11 +128,11 @@ class ShardedQueryEngine(QueryEngine):
 
         sh1 = NamedSharding(self.mesh, P("shard", None))
         sh2 = NamedSharding(self.mesh, P("shard", None, None))
-        self._enc_se_dev = jax.device_put(enc_se, sh2)
-        self._rowstart_dev = jax.device_put(row_sh, sh1)
-        self._bounds_dev = jax.device_put(bounds, sh1)
+        self._enc_se_dev = self._put(enc_se, sh2)
+        self._rowstart_dev = self._put(row_sh, sh1)
+        self._bounds_dev = self._put(bounds, sh1)
         self._rowids_dev = (None if self._dense_space
-                            else jax.device_put(rid_sh, sh1))
+                            else self._put(rid_sh, sh1))
         if flavor is not None:
             self.mode = "hybrid"
             self.hflavor = flavor
@@ -130,7 +141,7 @@ class ShardedQueryEngine(QueryEngine):
             slots = np.zeros((D, nsrows, width), np.uint32)
             for s, blk in enumerate(slot_blocks):
                 slots[s, : blk.shape[0]] = blk
-            self._slots_dev = jax.device_put(slots, sh2)
+            self._slots_dev = self._put(slots, sh2)
             self._zero_row = nsrows - 1  # all-zero on every shard
         else:
             self.mode = "csr"
@@ -164,7 +175,7 @@ class ShardedQueryEngine(QueryEngine):
         mesh = self.mesh
         hybrid = self.mode == "hybrid" and not exact
 
-        def step(codes_l, lengths_l, enc_se_s, rowstart_s, bounds_s,
+        def step(codes_l, lengths_l, mask_t, enc_se_s, rowstart_s, bounds_s,
                  rowids_s, slots_s):
             B = codes_l.shape[0]
             rix2, res2, valid, onmers = self._strand_hashes(codes_l,
@@ -175,7 +186,7 @@ class ShardedQueryEngine(QueryEngine):
                 None if rowids_s is None else rowids_s[0])
             if hybrid:
                 hist, minall, ov = self._hybrid_core(
-                    slots_s[0], enc_se_s[0], rowstart_s[0], self._mask,
+                    slots_s[0], enc_se_s[0], rowstart_s[0], mask_t,
                     sidx, hrow, mine, res2, self.di.max_bucket)
                 hist = hist.reshape(2, B, self.S, self.th + 1)
                 minall = minall.reshape(2, B)
@@ -188,13 +199,13 @@ class ShardedQueryEngine(QueryEngine):
                 for st in range(2):
                     if exact:
                         h, mn = probe_strand_full(
-                            enc_se_s[0], self._mask, self._expand, start[st],
+                            enc_se_s[0], mask_t, self._expand, start[st],
                             cnt[st], res2[st], self.th, self.W, self.S,
                             self.di.max_bucket)
                         o = jnp.bool_(False)
                     else:
                         h, mn, o = probe_strand(
-                            enc_se_s[0], self._mask, self._expand, start[st],
+                            enc_se_s[0], mask_t, self._expand, start[st],
                             cnt[st], res2[st], self.th, self.W, self.S,
                             self.di.max_bucket)
                     ov = ov | o
@@ -209,10 +220,11 @@ class ShardedQueryEngine(QueryEngine):
             ov_b = jnp.broadcast_to(ov, onmers.shape)
             return hist_or, hist_rc, minall_or, minall_rc, onmers, ov_b
 
-        in_specs = [P("data", None), P("data"), P("shard", None, None),
-                    P("shard", None), P("shard", None)]
-        args = [codes, lengths, self._enc_se_dev, self._rowstart_dev,
-                self._bounds_dev]
+        in_specs = [P("data", None), P("data"), P(None, None),
+                    P("shard", None, None), P("shard", None),
+                    P("shard", None)]
+        args = [codes, lengths, self._mask_dev, self._enc_se_dev,
+                self._rowstart_dev, self._bounds_dev]
         if self._rowids_dev is not None:
             in_specs.append(P("shard", None))
             args.append(self._rowids_dev)

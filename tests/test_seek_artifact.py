@@ -217,3 +217,44 @@ def test_multi_partial_reference_load(index_world, tmp_path):
     assert "DIST" in out_text
     rows = [l for l in out_text.splitlines()[2:] if not l.endswith("NaN")]
     assert len(rows) > 0
+
+
+def test_native_multi_partial_equals_frac(index_world, tmp_path):
+    """r=0 and r=1 no-frac native partials combined at load must answer
+    queries identically to the one-shot frac build
+    (ref workflow: src/krepp.cpp:66-108)."""
+    import dataclasses
+
+    built, reads, tmp = index_world  # frac r=1 m=4 -> residues {0, 1}
+    input_map = [(n, str(tmp / f"{n}.fna")) for n in built.names]
+    nd = tmp_path / "native_mp"
+    for r in (0, 1):
+        p = dataclasses.replace(built.params, r=r, frac=False)
+        b = build_index(input_map, p, built.tree, progress=False)
+        artifact.save_native(b, str(nd), partial=True)
+    di = artifact.load_native_device(str(nd))
+    di0 = DeviceIndex.from_built(built)
+    assert int(di.resident.sum()) == 2
+    assert di.nkmers == di0.nkmers
+    assert np.array_equal(di.enc_v, di0.enc_v)
+    assert np.allclose(di.rho_slot, di0.rho_slot)
+    assert _dist_text(di, reads, tmp_path, "mp_n") == \
+        _dist_text(di0, reads, tmp_path, "mp_f")
+
+
+def test_partial_lsh_mismatch_rejected(index_world, tmp_path):
+    """Mixed-seed partials must be refused (ref: src/lshf.cpp:159-180)."""
+    import dataclasses
+
+    built, reads, tmp = index_world
+    input_map = [(n, str(tmp / f"{n}.fna")) for n in built.names]
+    d = tmp_path / "bad_mp"
+    p0 = dataclasses.replace(built.params, r=0, frac=False)
+    b0 = build_index(input_map, p0, built.tree, progress=False)
+    artifact.save_native(b0, str(d), partial=True)
+    other = IndexParams(lsh=LSHParams.generate(27, 11, 4, seed=99),
+                        w=35, r=1, frac=False)
+    b1 = build_index(input_map, other, built.tree, progress=False)
+    artifact.save_native(b1, str(d), partial=True)
+    with pytest.raises(ValueError, match="incompatible hash functions"):
+        artifact.load_native_device(str(d))
