@@ -163,42 +163,67 @@ def dist_throughput(engine, codes, batch, n_batches, label="", repeats=2):
     return best
 
 
-def place_throughput(name, n_batches=4, batch=4096):
-    """Full place pipeline (probe + stage2 + tree aggregation + report)."""
+def place_throughput(name, n_batches=6, batch=4096, repeats=2):
+    """Full place pipeline: fused device step (probe + stage2 + tree
+    aggregation), pipelined fetch, host chi-square + jplace emission —
+    the same work run_place does per steady-state batch, measured after
+    warmup (run_place itself rebuilds its jit per call, which would time
+    compilation, not placement)."""
     import io
+    from collections import deque
+
+    import jax
 
     from krepp_tpu.index import artifact
     from krepp_tpu.index.index import DeviceIndex
-    from krepp_tpu.query.place import run_place, PlaceConfig
+    from krepp_tpu.query.engine import QueryEngine, LeafResults
+    from krepp_tpu.query.place import (PlaceAggregator, PlaceConfig,
+                                       _report_batch)
 
     built = artifact.load_native(_cache_dir(name))
     di = DeviceIndex.from_built(built)
+    engine = QueryEngine(di, hdist_th=4)
+    pv = di.placement_view(None)
+    cfg = PlaceConfig()
+    agg = PlaceAggregator(engine, pv, cfg)
     codes = world_reads(name, batch * (n_batches + 1))
-    import tempfile
+    lengths = np.full(batch, 150, np.int32)
+    leaf_ok = np.asarray(pv.leaf_qse > 0)
+    names = [f"r{i}" for i in range(batch)]
+    wcount = np.zeros(pv.qflat.nnodes + 1)
+    batches = [codes[i * batch:(i + 1) * batch] for i in range(n_batches + 1)]
 
-    qdir = tempfile.mkdtemp(prefix="krepp_bench_")
-    qpath = os.path.join(qdir, "q.fq")
-    bases = np.array(list("ACGT"))
-    with open(qpath, "w") as f:
-        for i in range(codes.shape[0]):
-            s = "".join(bases[codes[i]])
-            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
     out = io.StringIO()
-    cfg = PlaceConfig(batch_bp=batch * 150)
-    t0 = time.time()
-    n = run_place(di, qpath, out, "bench", cfg)
-    elapsed = time.time() - t0
-    # subtract nothing: this includes compile of the first batch; report
-    # the steady half instead by re-running once more
-    out2 = io.StringIO()
-    t0 = time.time()
-    n = run_place(di, qpath, out2, "bench", cfg)
-    elapsed = time.time() - t0
-    rate = n / elapsed
-    print(f"[bench] place: {n} reads in {elapsed:.2f}s -> {rate:.0f} reads/s"
-          f" ({len(out2.getvalue())} bytes jplace)", file=sys.stderr)
-    os.unlink(qpath)
-    return rate
+
+    def flush(dev):
+        f = jax.device_get(tuple(dev))
+        (present, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
+         d_q, v_q, support, leq_gt1, onmers, _ov) = f
+        lr = LeafResults(
+            present=present, d=None, closest_slot=best_slot,
+            closest_d=best_d, hist_closest=hist_c, uc_closest=uc_c,
+            rho_closest=rho_c, v_closest=v_c, onmers=np.asarray(onmers),
+            lengths=lengths)
+        chisq_q = agg.chisq_host(d_q, hist_c, uc_c, rho_c, v_c)
+        _report_batch(lr, names, pv, cfg, out, wcount, False,
+                      d_q, v_q, support, leq_gt1, chisq_q)
+
+    flush(agg.run_place_async(batches[0], lengths, leaf_ok))  # warmup
+    best = 0.0
+    for _rep in range(repeats):
+        pending = deque()
+        t0 = time.time()
+        for i in range(1, n_batches + 1):
+            pending.append(agg.run_place_async(batches[i], lengths, leaf_ok))
+            if len(pending) >= 3:
+                flush(pending.popleft())
+        while pending:
+            flush(pending.popleft())
+        best = max(best, batch * n_batches / (time.time() - t0))
+    print(f"[bench] place: {batch * n_batches} reads, best of {repeats} -> "
+          f"{best:.0f} reads/s ({len(out.getvalue()) // (1 + repeats)} "
+          "bytes jplace per pass)", file=sys.stderr)
+    return best
 
 
 def cpu_baseline():

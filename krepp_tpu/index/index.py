@@ -101,7 +101,7 @@ class DeviceIndex:
         nrows_u = ((lsh.nrows_global + m - 1) // m) * R
 
         urow = (g_rows // m) * R + res_rank[g_rows % m]
-        order = np.lexsort((enc, urow))
+        order = _sort_by_row_enc(urow, enc)
         urow = urow[order]
         enc = enc[order]
         se = se[order]
@@ -151,6 +151,14 @@ class DeviceIndex:
         return PlacementView.create(self, qtree)
 
 
+def _sort_by_row_enc(urow: np.ndarray, enc: np.ndarray) -> np.ndarray:
+    """argsort by (urow, enc): one packed-u64 argsort instead of lexsort's
+    two stable passes (the load-time hot spot at tens of millions of
+    entries; urow < 2^31 and enc is 32-bit, so the pack is exact)."""
+    key = (urow.astype(np.uint64) << np.uint64(32)) | enc.astype(np.uint64)
+    return np.argsort(key, kind="stable")
+
+
 def build_row_csr(urow_sorted: np.ndarray, nrows_u: int):
     """CSR offsets over unified rows; sparse row-id table for huge row spaces.
 
@@ -165,7 +173,18 @@ def build_row_csr(urow_sorted: np.ndarray, nrows_u: int):
 
     if nrows_u <= SPARSE_ROW_THRESHOLD:
         return dense()
-    row_ids, counts = np.unique(urow_sorted, return_counts=True)
+    # the input is already row-ascending: group boundaries come from a
+    # neighbour diff (np.unique would re-sort 8-byte keys for nothing)
+    if len(urow_sorted):
+        change = np.empty(len(urow_sorted), bool)
+        change[0] = True
+        np.not_equal(urow_sorted[1:], urow_sorted[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        row_ids = urow_sorted[starts]
+        counts = np.diff(np.append(starts, len(urow_sorted)))
+    else:
+        row_ids = np.asarray(urow_sorted[:0])
+        counts = np.empty(0, np.int64)
     if nrows_u <= DENSE_ROW_CAP and nrows_u <= 4 * len(row_ids):
         return dense()
     row_start = np.zeros(len(row_ids) + 1, np.int64)
@@ -183,11 +202,13 @@ def _local_rows_to_global(inc: np.ndarray, p: IndexParams) -> np.ndarray:
     nrows = len(inc)
     starts = np.concatenate([[0], inc[:-1]])
     counts = (inc - starts).astype(np.int64)
-    local = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+    # int32 is exact (local rows < 2^30 for h <= 15) and halves the
+    # repeat/divmod cost on tens of millions of entries
+    local = np.repeat(np.arange(nrows, dtype=np.int32), counts)
     if p.frac:
-        q, res = local // (p.r + 1), local % (p.r + 1)
-        return q * p.m + res
-    return local * p.m + p.r
+        q, res = np.divmod(local, np.int32(p.r + 1))
+        return q * np.int32(p.m) + res
+    return local * np.int32(p.m) + np.int32(p.r)
 
 
 @dataclass
@@ -265,7 +286,7 @@ class DeviceSketch:
         R = int(resident.sum())
         nrows_u = ((lsh.nrows_global + m - 1) // m) * R
         urow = (g_rows // m) * R + res_rank[g_rows % m]
-        order = np.lexsort((built.enc_v, urow))
+        order = _sort_by_row_enc(urow, built.enc_v)
         urow = urow[order]
         enc = built.enc_v[order]
         row_ids, row_start, max_bucket = build_row_csr(urow, nrows_u)

@@ -131,16 +131,26 @@ def event_probe(slots_d, enc_se, row_start, leaf_off, leaf_slots,
     M = ev_lane.shape[0]
 
     # --------------------------------------------- color -> leaf expansion
+    # Each event e owns output slots [cum[e]-cards[e], cum[e]). The owner of
+    # slot t is recovered with a sorted scatter of one mark per event at its
+    # start slot + a cumsum — O(M + CAP_L) instead of the O(CAP_L * log M)
+    # random gathers a searchsorted would cost (binary search dominates the
+    # whole probe on TPU).
     se_ok = jnp.where(ev_ok, ev_se, 0).astype(jnp.int64)
     cards = jnp.where(ev_ok, leaf_off[se_ok + 1] - leaf_off[se_ok], 0)
     cum = jnp.cumsum(cards)                              # int64 [M]
     T = cum[-1]
     overflow = overflow | (T > CAP_L)
+    starts = cum - cards                                 # nondecreasing
+    starts_c = jnp.where(starts < CAP_L, starts, CAP_L)  # OOB -> dropped
+    marks = jnp.zeros((CAP_L,), jnp.int32).at[starts_c].add(
+        1, mode="drop", indices_are_sorted=True)
+    # last event with start <= t == the owning event (later events start at
+    # or after the owner's cum, which is > t)
+    evc = jnp.maximum(jnp.cumsum(marks) - 1, 0)
     t = jnp.arange(CAP_L, dtype=jnp.int64)
-    ev = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
-    evc = jnp.minimum(ev, M - 1)
     tv = t < jnp.minimum(T, CAP_L)
-    base = cum[evc] - cards[evc]
+    base = starts[evc]
     lidx = leaf_off[se_ok[evc]] + (t - base)
     lidx = jnp.clip(lidx, 0, max(leaf_slots.shape[0] - 1, 0))
     leaf = leaf_slots[lidx].astype(jnp.int32)            # [CAP_L]
@@ -150,12 +160,23 @@ def event_probe(slots_d, enc_se, row_start, leaf_off, leaf_slots,
     hd_t = ev_hd[evc]
 
     # ------------------------------------------------- sort + dedupe + hist
-    k1 = jnp.where(tv, nb, N).astype(jnp.int32)
-    k2 = leaf
+    # (strand-read, leaf) packs into one 31-bit key whenever the index is
+    # not astronomically wide — a 2-key sort is measurably cheaper than a
+    # 3-key one at millions of events
+    sbits = max(S - 1, 1).bit_length()
     k3 = p * 8 + hd_t
-    k1s, k2s, k3s = jax.lax.sort((k1, k2, k3), num_keys=3)
+    if (N + 1) << sbits < 2**31:
+        kl = jnp.where(tv, (nb << sbits) | leaf, N << sbits)
+        kls, k3s = jax.lax.sort((kl, k3), num_keys=2)
+        k1s = kls >> sbits
+        k2s = kls & ((1 << sbits) - 1)
+        new_lane = kls != _shift_prev(kls, -1)
+    else:
+        k1 = jnp.where(tv, nb, N).astype(jnp.int32)
+        k1s, k2s, k3s = jax.lax.sort((k1, leaf, k3), num_keys=3)
+        new_lane = ((k1s != _shift_prev(k1s, -1))
+                    | (k2s != _shift_prev(k2s, -1)))
     valid_s = k1s < N
-    new_lane = (k1s != _shift_prev(k1s, -1)) | (k2s != _shift_prev(k2s, -1))
     ps = k3s >> 3
     new_pos = new_lane | (ps != _shift_prev(ps, -1))
     first = new_pos & valid_s
@@ -176,5 +197,9 @@ def event_probe(slots_d, enc_se, row_start, leaf_off, leaf_slots,
 
     nbi = jnp.where(nb_lane >= 0, nb_lane, N)            # OOB rows dropped
     hist = jnp.zeros((N, S, X), jnp.int32)
-    hist = hist.at[nbi, leaf_lane].add(hist_lanes, mode="drop")
+    # lanes are unique and already (nb, leaf)-sorted; the invalid tail maps
+    # to the dropped out-of-bounds row N
+    hist = hist.at[nbi, leaf_lane].add(hist_lanes, mode="drop",
+                                       indices_are_sorted=True,
+                                       unique_indices=False)
     return hist, minall, overflow
