@@ -42,15 +42,6 @@ def xor64(a_hi, a_lo, b_hi, b_lo):
     return a_hi ^ b_hi, a_lo ^ b_lo
 
 
-def shr64(hi, lo, n: int):
-    """Logical right shift by a static 0 <= n < 64."""
-    if n == 0:
-        return hi, lo
-    if n >= 32:
-        return jnp.zeros_like(hi), hi >> (n - 32) if n > 32 else hi
-    return hi >> n, (lo >> n) | (hi << (32 - n))
-
-
 # xur64 (murmur3 finaliser) constants (ref: src/common.hpp:147-155)
 _C1_HI, _C1_LO = jnp.uint32(0xFF51AFD7), jnp.uint32(0xED558CCD)
 _C2_HI, _C2_LO = jnp.uint32(0xC4CEB9FE), jnp.uint32(0x1A85EC53)

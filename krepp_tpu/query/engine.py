@@ -451,11 +451,15 @@ class QueryEngine:
         """Capacity tier for the event probe; each tier 16x the last.
 
         Overflowing batches re-run at the next tier (fetch_prefetched), so
-        caps bound memory, never results."""
+        caps bound memory, never results. Tier 0 sizes the leaf-event
+        buffer at Np/8: expansion + dedupe-sort cost scales with CAP_L, and
+        measured hit rates (winnowed index, two strands, hdist_th) leave
+        real event counts far below one per probe; match-dense batches pay
+        one escalated re-run instead of every batch paying 16x padding."""
         Np = 2 * B * P
         E = min(8 << (2 * tier), max(self.di.max_bucket, 1))
         KH = min(Np, max(1024, Np // HEAVY_DIV) << (2 * tier))
-        CAP_L = 2 * Np << (2 * tier)
+        CAP_L = max(1 << 16, Np // 8) << (2 * tier)
         return E, KH, CAP_L
 
     def _probe_event(self, tables, codes, lengths, tier: int):
