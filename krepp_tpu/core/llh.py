@@ -323,6 +323,8 @@ def brent_on_mask(llh_fast, A, Bx, uc, rho, mask,
     (N // divisor for each cap_divisor, then dense). Unselected lanes return
     d = 0.0, v = 0.0 — callers must gate on their own masks.
     """
+    from .compact import compact_mask_indices
+
     shape = uc.shape
     N = int(np.prod(shape))
     Af = A.reshape(N)
@@ -330,7 +332,6 @@ def brent_on_mask(llh_fast, A, Bx, uc, rho, mask,
     ucf = uc.reshape(N)
     rhof = rho.reshape(N)
     maskf = mask.reshape(N)
-    nkeep = jnp.sum(maskf.astype(jnp.int32))
 
     caps = []
     for div in sorted(cap_divisors, reverse=True):
@@ -338,17 +339,24 @@ def brent_on_mask(llh_fast, A, Bx, uc, rho, mask,
         if kb < N and kb not in caps:
             caps.append(kb)
 
+    # first-K-set lane indices via cumsum compaction (sentinel N on the
+    # unfilled tail: its gathers clamp to junk that Brent churns on and the
+    # write-back drops)
+    Kmax = caps[-1] if caps else 0
+    idx_all, nkeep = (compact_mask_indices(maskf, Kmax) if caps
+                      else (None, jnp.sum(maskf.astype(jnp.int32))))
+
     def make_compact(Kb):
         def compact(_):
-            _, idx = jax.lax.top_k(maskf.astype(jnp.int32), Kb)
+            idx = idx_all[:Kb]
             a = Af[idx]
             b = Bf[idx]
             u = ucf[idx]
             r = rhof[idx]
             d, v = brent_find_minima(lambda dd: llh_fast(dd, a, b, u, r),
                                      (Kb,))
-            D = jnp.zeros((N,), F).at[idx].set(d)
-            V = jnp.zeros((N,), F).at[idx].set(v)
+            D = jnp.zeros((N,), F).at[idx].set(d, mode="drop")
+            V = jnp.zeros((N,), F).at[idx].set(v, mode="drop")
             return D, V
         return compact
 

@@ -52,7 +52,6 @@ class ShardedQueryEngine(QueryEngine):
         self.n_shard = mesh.shape["shard"]
         self.n_data = mesh.shape["data"]
         super().__init__(dindex, hdist_th)
-        self._probe_jit = jax.jit(self._sharded_probe)
 
     def _put(self, x: np.ndarray, sharding):
         """Place a host array on the mesh (overridden for multi-host,
@@ -61,10 +60,24 @@ class ShardedQueryEngine(QueryEngine):
 
     def _init_tables(self, dindex: DeviceIndex) -> None:
         """Shard-placed arrays replace the single-device tables."""
-        if dindex.se_mask is None:
-            raise NotImplementedError(
-                "sharded querying over event-mode (many-genome) indexes is "
-                "not wired yet; use the single-device engine")
+        if self._use_event:
+            # many-genome index: per-shard event probe over 'se'-flavor
+            # bucket-row shards + a replicated leaf-slot CSR; per-shard
+            # histogram partials psum exactly (a probe's bucket lives on
+            # one shard, so per-(read, leaf, pos) dedupe is shard-local)
+            self._build_shards(dindex, force_flavor="se")
+            assert self.mode == "hybrid", \
+                "event-mode shards need the bucket-row table"
+            self.mode = "event"
+            self._leafoff_dev = self._put(
+                np.asarray(dindex.leaf_csr_off),
+                NamedSharding(self.mesh, P(None)))
+            self._leafslots_dev = self._put(
+                np.asarray(dindex.leaf_csr_slots),
+                NamedSharding(self.mesh, P(None)))
+            self._mask_dev = None
+            self._tables = ()
+            return
         self.W = dindex.se_mask.shape[1]
         self._build_shards(dindex)
         self._mask_dev = self._put(
@@ -72,7 +85,8 @@ class ShardedQueryEngine(QueryEngine):
             NamedSharding(self.mesh, P(None, None)))
         self._tables = ()
 
-    def _build_shards(self, di: DeviceIndex) -> None:
+    def _build_shards(self, di: DeviceIndex,
+                      force_flavor: Optional[str] = None) -> None:
         D = self.n_shard
         W = self.W
         self._dense_space = di.row_ids is None
@@ -105,8 +119,8 @@ class ShardedQueryEngine(QueryEngine):
         row_sh = np.zeros((D, maxrows + 1), np.int32)
         rid_sh = np.full((D, maxrows), INT32_SENTINEL, np.int32)
         self.C0 = min(DENSE_SLOTS, max(1, di.max_bucket))
-        flavor = hybrid_flavor(maxrows + 1, di.max_bucket, W,
-                               DIRECT_MEM_CAP)
+        flavor = force_flavor or hybrid_flavor(maxrows + 1, di.max_bucket,
+                                               W, DIRECT_MEM_CAP)
         slot_blocks = []
         for s in range(D):
             lo, hi = int(bnd[s]), int(bnd[s + 1])
@@ -168,15 +182,21 @@ class ShardedQueryEngine(QueryEngine):
 
     def _probe_dispatch(self, tables, codes, lengths, exact: bool = False,
                         tier: int = 0):
-        del tables, tier  # shard-placed arrays; no event tiers here yet
-        return self._sharded_probe(codes, lengths, exact)
+        del tables  # shard-placed arrays are used instead
+        return self._sharded_probe(codes, lengths, exact, tier)
 
-    def _sharded_probe(self, codes, lengths, exact: bool = False):
+    def _sharded_probe(self, codes, lengths, exact: bool = False,
+                       tier: int = 0):
+        from ..query.event_probe import event_probe
+
         mesh = self.mesh
+        event = self.mode == "event"
+        if event and exact:
+            tier = max(tier, 2)
         hybrid = self.mode == "hybrid" and not exact
 
         def step(codes_l, lengths_l, mask_t, enc_se_s, rowstart_s, bounds_s,
-                 rowids_s, slots_s):
+                 rowids_s, slots_s, leafoff_t, leafslots_t):
             B = codes_l.shape[0]
             rix2, res2, valid, onmers = self._strand_hashes(codes_l,
                                                             lengths_l)
@@ -184,7 +204,17 @@ class ShardedQueryEngine(QueryEngine):
             mine, sidx, hrow = self._shard_route(
                 urow, resident, bounds_s[0],
                 None if rowids_s is None else rowids_s[0])
-            if hybrid:
+            if event:
+                P_ = urow.shape[2]
+                E, KH, CAP_L = self._event_caps(B, P_, tier)
+                hist, minall, ov = event_probe(
+                    slots_s[0], enc_se_s[0], rowstart_s[0], leafoff_t,
+                    leafslots_t, sidx, hrow, mine, res2, self.th, self.C0,
+                    self.S, self.di.max_bucket, E, KH, CAP_L)
+                hist = hist.reshape(2, B, self.S, self.th + 1)
+                minall = minall.reshape(2, B)
+                hists, minalls = (hist[0], hist[1]), (minall[0], minall[1])
+            elif hybrid:
                 hist, minall, ov = self._hybrid_core(
                     slots_s[0], enc_se_s[0], rowstart_s[0], mask_t,
                     sidx, hrow, mine, res2, self.di.max_bucket)
@@ -220,7 +250,8 @@ class ShardedQueryEngine(QueryEngine):
             ov_b = jnp.broadcast_to(ov, onmers.shape)
             return hist_or, hist_rc, minall_or, minall_rc, onmers, ov_b
 
-        in_specs = [P("data", None), P("data"), P(None, None),
+        in_specs = [P("data", None), P("data"),
+                    None if self._mask_dev is None else P(None, None),
                     P("shard", None, None), P("shard", None),
                     P("shard", None)]
         args = [codes, lengths, self._mask_dev, self._enc_se_dev,
@@ -237,6 +268,12 @@ class ShardedQueryEngine(QueryEngine):
         else:
             in_specs.append(None)
             args.append(None)
+        if event:
+            in_specs.extend([P(None), P(None)])
+            args.extend([self._leafoff_dev, self._leafslots_dev])
+        else:
+            in_specs.extend([None, None])
+            args.extend([None, None])
 
         fn = jax.shard_map(
             step, mesh=mesh, in_specs=tuple(in_specs),

@@ -178,7 +178,6 @@ class QueryEngine:
         self._use_event = (dindex.se_mask is None
                            or bool(os.environ.get("KREPP_EVENT_PROBE")))
         self._init_tables(dindex)
-        self._probe_jit = jax.jit(self._probe_impl)
         self._stage2_jit = jax.jit(self._stage2_impl)
         self._full_jits = {}
 
@@ -385,16 +384,16 @@ class QueryEngine:
 
         overflow = jnp.bool_(False)
         if max_bucket > C0:
+            from ..core.compact import compact_mask_indices
+
             Np = N * P
             K = min(Np, max(1024, Np // HEAVY_DIV))
             hf = heavy.reshape(Np)
-            overflow = jnp.sum(hf.astype(jnp.int32)) > K
-            _, hidx = jax.lax.top_k(hf.astype(jnp.int32), K)
-            seg = (hidx // P).astype(jnp.int32)
-            order = jnp.argsort(seg)
-            hidx = hidx[order]
-            seg = seg[order]
-            live = hf[hidx]
+            hidx, nheavy = compact_mask_indices(hf, K)
+            overflow = nheavy > K
+            # compacted indices are already ascending => seg sorted
+            seg = jnp.minimum(hidx // P, N - 1).astype(jnp.int32)
+            live = (hidx < Np) & hf[jnp.minimum(hidx, Np - 1)]
             hurow = hrow.reshape(Np)[hidx]
             hres = res2.reshape(N, P).reshape(Np)[hidx]
             start = row_start[hurow]
@@ -664,16 +663,18 @@ class QueryEngine:
         if out_mode in ("dist", "dist_ratio"):
             (present, _hist, d_f, _v, _mc, _uc, _rho, best_slot, _best_d,
              hist_c, uc_c, _rho_c, v_c, _ratio) = out
+            from ..core.compact import compact_mask_indices
+
             B, S = present.shape
             bits = codec.pack_bits_device(present)
-            # compact present-lane distances: lax.top_k on the 0/1 mask
-            # breaks ties by ascending index, so the first n entries are
-            # exactly np.flatnonzero(present) — no index fetch needed
+            # compact present-lane distances in index order: the first n
+            # entries are exactly np.flatnonzero(present) — no index fetch
+            # needed (host re-derives lanes from the bitmap)
             K = min(B * S, max(8 * B, 1024))
             pf = present.reshape(-1)
-            _, idx = jax.lax.top_k(pf.astype(jnp.int32), K)
+            idx, nset = compact_mask_indices(pf, K)
             dval = d_f.reshape(-1)[idx]
-            fetch_over = jnp.sum(pf.astype(jnp.int32)) > K
+            fetch_over = nset > K
             base = (bits, dval, best_slot.astype(jnp.int32))
             if out_mode == "dist_ratio":
                 base = base + (hist_c.astype(jnp.int32),

@@ -77,10 +77,13 @@ def event_probe(slots_d, enc_se, row_start, leaf_off, leaf_slots,
     # ----------------------------------------------------------- heavy tail
     overflow = jnp.bool_(False)
     if max_bucket > C0:
+        from ..core.compact import compact_mask_indices
+
         hf = heavy.reshape(Np)
-        overflow = jnp.sum(hf.astype(jnp.int32)) > KH
-        _, hidx = jax.lax.top_k(hf.astype(jnp.int32), KH)
-        live = hf[hidx]
+        hidx, nheavy = compact_mask_indices(hf, KH)
+        overflow = nheavy > KH
+        live = (hidx < Np) & hf[jnp.minimum(hidx, Np - 1)]
+        hidx = jnp.minimum(hidx, Np - 1)
         hurow = hrow.reshape(Np)[hidx]
         hres = res2.reshape(Np)[hidx]
         start = row_start[hurow]

@@ -101,3 +101,22 @@ def test_cli_mesh_dist_and_place(world, tmp_path):
                  "--mesh", "1x8"]) == 0
     doc = json.loads(open(pout).read())
     assert doc["version"] == 3
+
+
+def test_sharded_event_probe(world, monkeypatch):
+    """Sharded event probe (many-genome path, forced) == mask-mode single
+    device; per-shard histogram partials psum exactly."""
+    di, reads = world
+    mesh = make_query_mesh(2, 4)
+    codes, lengths = pad_codes_batch([seq_to_codes(s) for _, s in reads])
+    e0 = QueryEngine(di, 4)
+    lr0 = e0.run_leaf_stage(codes, lengths)
+    monkeypatch.setenv("KREPP_EVENT_PROBE", "1")
+    e1 = ShardedQueryEngine(di, mesh, 4)
+    assert e1.mode == "event"
+    lr1 = e1.run_leaf_stage(codes, lengths)
+    assert np.array_equal(lr0.present, lr1.present)
+    assert np.array_equal(lr0.hist, lr1.hist)
+    assert np.array_equal(lr0.closest_slot, lr1.closest_slot)
+    assert np.allclose(lr0.d[lr0.present], lr1.d[lr1.present],
+                       rtol=1e-9, atol=1e-11)
