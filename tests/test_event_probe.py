@@ -165,3 +165,25 @@ def test_many_genome_dist_driver(big_world, tmp_path):
     for row in rows:
         parts = row.split("\t")
         assert len(parts) == 3
+
+
+def test_many_genome_place_driver(big_world, tmp_path):
+    """run_place end-to-end at 384 genomes (event probe + dense stage-3
+    aggregation with the adaptive place batch)."""
+    import json
+
+    from krepp_tpu.query.place import run_place, PlaceConfig
+
+    di, built, genomes, tree, params = big_world
+    rng = np.random.default_rng(93)
+    reads = worldgen.sample_reads(rng, genomes, n=4, rlen=120, mut=0.03)
+    qpath = tmp_path / "q.fq"
+    with open(qpath, "w") as f:
+        for rid, seq in reads:
+            f.write(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n")
+    out = io.StringIO()
+    n = run_place(di, str(qpath), out, "test", PlaceConfig(no_filter=True))
+    assert n == len(reads)
+    doc = json.loads(out.getvalue())
+    assert doc["version"] == 3
+    assert len(doc["placements"]) >= 1
