@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "randomness. [0]")
     p.add_argument("--num-threads", type=int, default=1,
                    help="Number of host worker threads for IO/parse. [1]")
+    p.add_argument("--trace-dir", default=None,
+                   help="Write a JAX profiler trace of the run to this "
+                        "directory (view with TensorBoard / xprof).")
     p.add_argument("--verbose", action="store_true")
     sub_kw = dict(add_help=False)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -205,18 +208,26 @@ def main(argv=None) -> int:
             args.dist_max != args.dist_max):  # not NaN
         if not (1e-8 <= args.dist_max <= 0.33):
             raise SystemExit("--dist-max must be in [1e-08, 0.33]")
-    if args.cmd == "index":
-        cmd_index(args)
-    elif args.cmd == "dist":
-        cmd_dist(args, inv)
-    elif args.cmd == "place":
-        cmd_place(args, inv)
-    elif args.cmd == "inspect":
-        cmd_inspect(args)
-    elif args.cmd == "sketch":
-        cmd_sketch(args)
-    elif args.cmd == "seek":
-        cmd_seek(args, inv)
+    import contextlib
+
+    trace = contextlib.nullcontext()
+    if args.trace_dir:
+        import jax
+
+        trace = jax.profiler.trace(args.trace_dir)
+    with trace:
+        if args.cmd == "index":
+            cmd_index(args)
+        elif args.cmd == "dist":
+            cmd_dist(args, inv)
+        elif args.cmd == "place":
+            cmd_place(args, inv)
+        elif args.cmd == "inspect":
+            cmd_inspect(args)
+        elif args.cmd == "sketch":
+            cmd_sketch(args)
+        elif args.cmd == "seek":
+            cmd_seek(args, inv)
     print(f"Done, elapsed: {time.time() - t0:.2f} sec", file=sys.stderr)
     return 0
 

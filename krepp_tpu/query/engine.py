@@ -136,13 +136,18 @@ class QueryEngine:
     """dist/place probe + leaf-level ML over one DeviceIndex.
 
     Probe layouts (chosen at init):
-      * 'direct' — one dense [nrows_u, C0*(1+W)] u32 bucket-row table with
-        the per-color leaf bitmask embedded next to each residual; a probe
-        is ONE row gather (the dominant cost on the TPU runtime is the
-        per-gather dispatch, nearly independent of row width) followed by
-        pure elementwise work. Applies when max_bucket <= DIRECT_CAP.
+      * 'hybrid' — a bucket-row table (count word + first C0 entries per
+        row, leaf bitmask embedded or color id stored): a probe is ONE row
+        gather (the dominant cost on the TPU runtime is the per-gather
+        dispatch, nearly independent of row width) + the fused epilogue;
+        deep buckets spill to a compacted CSR rescan. Sparse row spaces
+        route through a binary search of the nonempty-row ids.
+      * 'event' — many-genome indexes (no bitmask table): matched events
+        expand through the per-color leaf-slot CSR and dedupe by sort
+        (see event_probe.py). Chosen when the index skipped its bitmasks
+        or KREPP_EVENT_PROBE=1.
       * 'csr' — flat entry array + offset CSR with a bounded scan loop and
-        a top-k heavy tail (deep buckets or sparse row spaces).
+        a compacted heavy tail (fallback when no bucket-row table fits).
 
     All large index arrays are passed to the jitted programs as arguments
     (never closure constants): constants are serialized into the remote
