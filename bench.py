@@ -176,9 +176,9 @@ def place_throughput(name, n_batches=6, batch=4096, repeats=2):
 
     from krepp_tpu.index import artifact
     from krepp_tpu.index.index import DeviceIndex
-    from krepp_tpu.query.engine import QueryEngine, LeafResults
+    from krepp_tpu.query.engine import QueryEngine
     from krepp_tpu.query.place import (PlaceAggregator, PlaceConfig,
-                                       _report_batch)
+                                       flush_place_batch)
 
     built = artifact.load_native(_cache_dir(name))
     di = DeviceIndex.from_built(built)
@@ -197,16 +197,8 @@ def place_throughput(name, n_batches=6, batch=4096, repeats=2):
 
     def flush(dev):
         f = jax.device_get(tuple(dev))
-        (present, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
-         d_q, v_q, support, leq_gt1, onmers, _ov) = f
-        lr = LeafResults(
-            present=present, d=None, closest_slot=best_slot,
-            closest_d=best_d, hist_closest=hist_c, uc_closest=uc_c,
-            rho_closest=rho_c, v_closest=v_c, onmers=np.asarray(onmers),
-            lengths=lengths)
-        chisq_q = agg.chisq_host(d_q, hist_c, uc_c, rho_c, v_c)
-        _report_batch(lr, names, pv, cfg, out, wcount, False,
-                      d_q, v_q, support, leq_gt1, chisq_q)
+        flush_place_batch(agg, f, names, lengths, pv, cfg, out, wcount,
+                          False)
 
     flush(agg.run_place_async(batches[0], lengths, leaf_ok))  # warmup
     best = 0.0

@@ -57,6 +57,10 @@ class PlaceAggregator:
         self._rho_slot = engine._rho_slot
         self._llh = engine._llh
         self._llh_fast = engine._llh_fast
+        # structural candidate gate: eff_nchildren-covered internal nodes
+        # with a parent (ref: src/query.cpp:268-281)
+        self._cand_struct = jnp.asarray(pv.candidate_ok
+                                        & (pv.qflat.parent != 0))
         self._agg_jit = jax.jit(self._agg_impl)
         self._place_jits = {}
 
@@ -116,11 +120,18 @@ class PlaceAggregator:
 
     def _place_impl(self, tables, packed, vbits, lengths, leaf_ok,
                     exact: bool = False):
-        """Fused probe + stage 2 + placement aggregation, returning only
-        what the report pass consumes (the chi-square grid is recomputed on
-        the host from the closest-candidate summary; the device link is the
-        bottleneck, not the f64 math)."""
+        """Fused probe + stage 2 + placement aggregation, returning a
+        device-compacted candidate list.
+
+        The dense [B, Q] d/v grids dominated the fetched bytes (the remote
+        device link is the pipeline bottleneck), so the pre-chisq candidate
+        mask — support & structural gate & leq_tau & multi-read activity
+        (ref: src/query.cpp:218-281) — is compacted on device to at most K
+        (read, qnode) lanes; the chi-square LRT itself stays on host f64
+        over just those lanes. exact=True sizes K to the full grid (the
+        overflow retier), so compaction can never truncate."""
         from ..core import codec as _codec
+        from ..core.compact import compact_mask_indices
 
         eng = self.engine
         codes = _codec.unpack_codes(packed, lengths, packed.shape[1] * 16,
@@ -133,8 +144,26 @@ class PlaceAggregator:
         (_hist_q, _uc_q, _rho_q, d_q, v_q, support, leq_tau, _chisq) = \
             self._agg_impl(present, hist_f, mc_f, d_f, v_f, uc_f,
                            onmers, lengths, hist_c, uc_c, rho_c, v_c)
+
+        tau = self.cfg.tau
+        n_pres = jnp.sum(present, axis=1)
+        leq_tau_c = jnp.sum(hist_c[:, : tau + 1], axis=1)
+        active = (n_pres > 0) & (self.cfg.no_filter | (leq_tau_c > 1.0))
+        multi_r = active & (n_pres > 1)
+        pre_cand = support & self._cand_struct[None, :] & multi_r[:, None]
+        if not self.cfg.no_filter:
+            pre_cand = pre_cand & (leq_tau > 1.0)
+        flat = pre_cand.reshape(-1)
+        B = present.shape[0]
+        K = flat.shape[0] if exact else min(flat.shape[0],
+                                            max(4096, 8 * B))
+        cand_idx, n_cand = compact_mask_indices(flat, K)
+        safe = jnp.minimum(cand_idx, flat.shape[0] - 1)
+        cand_d = d_q.reshape(-1)[safe]
+        cand_v = v_q.reshape(-1)[safe]
+        overflow = overflow | (n_cand > K)
         return (present, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
-                d_q, v_q, support, leq_tau > 1.0, onmers, overflow)
+                cand_idx, cand_d, cand_v, n_cand, onmers, overflow)
 
     def run_place_async(self, codes, lengths, leaf_ok, exact: bool = False):
         from ..core import codec as _codec
@@ -157,13 +186,23 @@ class PlaceAggregator:
 
     def chisq_host(self, d_q, hist_c, uc_c, rho_c, v_c) -> np.ndarray:
         """chisq_q = 2 (llh(d_q | closest) - v_closest) on host f64."""
+        self._ensure_llh_np()
+        return 2.0 * (self._llh_np(d_q, hist_c[:, None, :], uc_c[:, None],
+                                   rho_c[:, None]) - v_c[:, None])
+
+    def chisq_cand_host(self, cb, cd, hist_c, uc_c, rho_c, v_c) -> np.ndarray:
+        """Per-candidate-lane chi-square LRT vs the closest candidate
+        (ref: src/query.cpp:284-296), host f64 over compacted lanes."""
+        self._ensure_llh_np()
+        return 2.0 * (self._llh_np(cd, hist_c[cb], uc_c[cb], rho_c[cb])
+                      - v_c[cb])
+
+    def _ensure_llh_np(self):
         from ..core.llh import make_llh_np
 
         if not hasattr(self, "_llh_np"):
             eng = self.engine
             self._llh_np = make_llh_np(eng.lsh.k, eng.lsh.h, eng.th)
-        return 2.0 * (self._llh_np(d_q, hist_c[:, None, :], uc_c[:, None],
-                                   rho_c[:, None]) - v_c[:, None])
 
 
 def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
@@ -196,24 +235,16 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
         names_b, lengths_b, codes_b, dev = pending.popleft()
         fetched = jax.device_get(tuple(dev))
         if bool(np.any(fetched[-1])):
-            # heavy-tail overflow: redo this batch with the exact scan
-            # (event mode: the high capacity tier)
+            # heavy-tail / candidate-capacity overflow: redo this batch with
+            # the exact scan + full-grid candidate capacity
             fetched = jax.device_get(tuple(agg.run_place_exact(
                 codes_b, lengths_b, leaf_ok)))
             if bool(np.any(fetched[-1])):
                 raise RuntimeError("probe overflow persisted in the exact "
                                    "re-run; reduce the batch size")
-        (present, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
-         d_q, v_q, support, leq_gt1, onmers, _ov) = fetched
-        lr = LeafResults(
-            present=present, d=None, closest_slot=best_slot,
-            closest_d=best_d, hist_closest=hist_c, uc_closest=uc_c,
-            rho_closest=rho_c, v_closest=v_c, onmers=np.asarray(onmers),
-            lengths=np.asarray(lengths_b))
-        chisq_q = agg.chisq_host(d_q, hist_c, uc_c, rho_c, v_c)
-        has_previous = _report_batch(
-            lr, names_b, pv, cfg, out, wcount, has_previous,
-            d_q, v_q, support, leq_gt1, chisq_q)
+        has_previous = flush_place_batch(
+            agg, fetched, names_b, np.asarray(lengths_b), pv, cfg, out,
+            wcount, has_previous)
 
     batch_bp = min(cfg.batch_bp,
                    engine.suggested_batch_reads(place=True) * 150)
@@ -238,6 +269,30 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
     return total
 
 
+def flush_place_batch(agg: PlaceAggregator, fetched, names_b, lengths_b,
+                      pv: PlacementView, cfg: PlaceConfig, out: TextIO,
+                      wcount: np.ndarray, has_previous: bool) -> bool:
+    """Host half of one fused place batch: unpack the device tuple,
+    chi-square the compacted candidate lanes, emit the report."""
+    (present, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
+     cand_idx, cand_d, cand_v, n_cand, onmers, _ov) = fetched
+    lr = LeafResults(
+        present=present, d=None, closest_slot=best_slot,
+        closest_d=best_d, hist_closest=hist_c, uc_closest=uc_c,
+        rho_closest=rho_c, v_closest=v_c, onmers=np.asarray(onmers),
+        lengths=lengths_b)
+    m = min(int(n_cand), len(cand_idx))
+    Qp = agg.Q + 1
+    idx = np.asarray(cand_idx[:m], np.int64)
+    cb = idx // Qp
+    cq = idx % Qp
+    cd = np.asarray(cand_d[:m])
+    cv = np.asarray(cand_v[:m])
+    chisq_c = agg.chisq_cand_host(cb, cd, hist_c, uc_c, rho_c, v_c)
+    return _report_batch(lr, names_b, pv, cfg, out, wcount, has_previous,
+                         cb, cq, cd, cv, chisq_c)
+
+
 def _jplace_row(qflat, q: int, d: float, v: float, lwr: float) -> str:
     pend = qflat.blen[q] / 2.0 if not math.isnan(qflat.blen[q]) else 0.0
     return jplace_fields(q - 1, jukes_cantor(d) - pend, pend, -v, lwr, d)
@@ -259,12 +314,14 @@ def _jplace_rows_bulk(qflat, qs: np.ndarray, d: np.ndarray, v: np.ndarray,
 def _report_batch(lr: LeafResults, names: List[str], pv: PlacementView,
                   cfg: PlaceConfig, out: TextIO, wcount: np.ndarray,
                   has_previous: bool,
-                  d_q, v_q, support, leq_gt1, chisq_q) -> bool:
+                  cb, cq, cd, cv, chisq_c) -> bool:
     """Bulk-vectorized report pass (ref: src/query.cpp:218-333).
 
-    All numerics (candidate masks, LWR normalisation, row strings) are
-    computed batch-wide; only the jplace per-read nesting walks reads, and
-    only the emitted ones."""
+    cb/cq/cd/cv/chisq_c are the device-compacted pre-chisq candidate lanes
+    in row-major (read, qnode) order (mask semantics live in
+    PlaceAggregator._place_impl); this pass applies the chi-square LRT
+    filter, normalises LWRs and emits rows — all batch-wide, with only the
+    jplace per-read nesting walking (emitted) reads."""
     qflat = pv.qflat
     B = lr.present.shape[0]
     tau = cfg.tau
@@ -274,7 +331,6 @@ def _report_batch(lr: LeafResults, names: List[str], pv: PlacementView,
     leq_tau_c = lr.hist_closest[:, : tau + 1].sum(axis=1)
     active = (n_pres > 0) & (cfg.no_filter | (leq_tau_c > 1.0))
     single = active & (n_pres == 1)
-    multi_r = active & (n_pres > 1)
 
     # single-match reads place on the closest leaf's edge with LWR 1
     sb = np.flatnonzero(single)
@@ -282,18 +338,13 @@ def _report_batch(lr: LeafResults, names: List[str], pv: PlacementView,
     s_d = lr.closest_d[sb]
     s_v = lr.v_closest[sb]
 
-    # candidate collection (ref: src/query.cpp:268-281)
-    cand = support & pv.candidate_ok[None, :] & (qflat.parent != 0)[None, :]
-    if not cfg.no_filter:
-        cand &= leq_gt1
-    cand &= chisq_q < cfg.chisq_value
-    cand &= multi_r[:, None]
-    cb, cq = np.nonzero(cand)
-    lwr = np.exp(-chisq_q[cb, cq] / 2.0)
+    # chi-square LRT filter over the compacted candidates
+    # (ref: src/query.cpp:284-296)
+    keep = chisq_c < cfg.chisq_value
+    cb, cq, cd, cv = cb[keep], cq[keep], cd[keep], cv[keep]
+    lwr = np.exp(-chisq_c[keep] / 2.0)
     tot = np.bincount(cb, weights=lwr, minlength=B)
     counts = np.bincount(cb, minlength=B)
-    cd = d_q[cb, cq]
-    cv = v_q[cb, cq]
     with np.errstate(invalid="ignore", divide="ignore"):
         cw = lwr / tot[cb]
 
