@@ -33,8 +33,7 @@ import numpy as np
 from ..core import codec
 from .bucket_scan import (make_expander, probe_strand,
                           probe_strand_full, scan_buckets_min)
-from ..core.llh import (make_llh, make_llh_fast, brent_find_minima,
-                        brent_on_mask, F)
+from ..core.llh import (make_llh, make_llh_fast, brent_find_minima, F)
 from ..index.index import DeviceIndex, DeviceSketch
 
 HD_SENTINEL = 255          # "no match" Hamming distance marker
@@ -183,7 +182,6 @@ class QueryEngine:
         self._use_event = (dindex.se_mask is None
                            or bool(os.environ.get("KREPP_EVENT_PROBE")))
         self._init_tables(dindex)
-        self._stage2_jit = jax.jit(self._stage2_impl)
         self._full_jits = {}
 
     # --------------------------------------------------------- table builds
@@ -536,44 +534,81 @@ class QueryEngine:
 
         return brent_find_minima(f, uc.shape)
 
-    def _stage2_impl(self, hist_or, hist_rc, minall_or, minall_rc, onmers,
-                     leaf_ok):
-        """Leaf-level filtering + ML + strand resolution
-        (ref: src/query.cpp:96-139)."""
+    def _stage2_lanes(self, hist_or, hist_rc, minall_or, minall_rc, onmers,
+                      leaf_ok, K: int):
+        """Leaf-level filtering + ML + strand resolution on COMPACTED match
+        lanes (ref: src/query.cpp:96-139).
+
+        Stage 2's math runs in emulated f64 on TPU; dense it is O(S) per
+        read, and at many-genome scale almost every (read, leaf) lane is
+        empty (measured ~3 match lanes per 150 bp read at S=1000). Lanes
+        with any match on either strand are compacted to K slots, every
+        f64 op (Brent, likelihoods, strand picks) runs lane-wise, and the
+        per-read closest scan becomes sorted-segment reductions. Values are
+        the dense formulation's, element for element; n_lanes > K raises
+        the overflow flag and the driver re-runs at full capacity.
+        """
+        from ..core.compact import compact_mask_indices
+
         th = self.th
         X = th + 1
         B = hist_or.shape[0]
         S = self.S
+        BS = B * S
+        NB = B + 1
         xs = jnp.arange(X, dtype=jnp.int32)
 
-        def leaf_stats(hist, minall):
-            matchc = jnp.sum(hist, axis=-1)                       # [B, S]
-            present = (matchc > 0) & leaf_ok[None, :]
-            minhd = jnp.min(jnp.where(hist > 0, xs[None, None, :], HD_SENTINEL),
+        # counts are tiny; the CPU/x64 epilogue may deliver int64
+        hist_or = hist_or.astype(jnp.int32)
+        hist_rc = hist_rc.astype(jnp.int32)
+        mc_or_d = jnp.sum(hist_or, axis=-1, dtype=jnp.int32)  # [B, S]
+        mc_rc_d = jnp.sum(hist_rc, axis=-1, dtype=jnp.int32)
+        anym = (mc_or_d > 0) | (mc_rc_d > 0)
+        idx, nset = compact_mask_indices(anym.reshape(-1), K)
+        lane_over = nset > K
+        lv = idx < BS
+        safe = jnp.minimum(idx, BS - 1)
+        lb = safe // S                                        # owning read
+        ls = safe - lb * S                                    # leaf slot
+        seg = jnp.where(lv, lb, B)                            # sorted ids
+        lok = leaf_ok[ls]
+
+        h_or = jnp.where(lv[:, None], hist_or.reshape(BS, X)[safe], 0)
+        h_rc = jnp.where(lv[:, None], hist_rc.reshape(BS, X)[safe], 0)
+        mc_or = jnp.sum(h_or, axis=-1, dtype=jnp.int32)
+        mc_rc = jnp.sum(h_rc, axis=-1, dtype=jnp.int32)
+
+        def leaf_stats(h, mc, minall):
+            present = (mc > 0) & lok
+            minhd = jnp.min(jnp.where(h > 0, xs[None, :], HD_SENTINEL),
                             axis=-1)
             filt = jnp.where(minall < HD_SENTINEL, 2 * minall + 1,
                              jnp.int32(2 * HD_SENTINEL))
-            keep = present & (minhd <= filt[:, None])
-            return matchc, present, keep
+            keep = present & (minhd <= filt[lb])
+            return keep
 
-        mc_or, pres_or, keep_or = leaf_stats(hist_or, minall_or)
-        mc_rc, pres_rc, keep_rc = leaf_stats(hist_rc, minall_rc)
+        keep_or = leaf_stats(h_or, mc_or, minall_or)
+        keep_rc = leaf_stats(h_rc, mc_rc, minall_rc)
 
-        uc_or = (onmers[:, None] - mc_or).astype(F)
-        uc_rc = (onmers[:, None] - mc_rc).astype(F)
-        rho = jnp.broadcast_to(self._rho_slot[None, :], (B, S)).astype(F)
-        bx_or = jnp.einsum("bsx,x->bs", hist_or.astype(F), xs.astype(F))
-        bx_rc = jnp.einsum("bsx,x->bs", hist_rc.astype(F), xs.astype(F))
-        A2 = jnp.concatenate([mc_or.astype(F), mc_rc.astype(F)], axis=0)
-        Bx2 = jnp.concatenate([bx_or, bx_rc], axis=0)
-        uc2 = jnp.concatenate([uc_or, uc_rc], axis=0)
-        rho2 = jnp.concatenate([rho, rho], axis=0)
-        keep2 = jnp.concatenate([keep_or, keep_rc], axis=0)
-        d2, v2 = brent_on_mask(self._llh_fast, A2, Bx2, uc2, rho2, keep2)
-        d_or, d_rc = d2[:B], d2[B:]
-        v_or, v_rc = v2[:B], v2[B:]
-        d_or = jnp.where(keep_or, d_or, D_MAX)
-        d_rc = jnp.where(keep_rc, d_rc, D_MAX)
+        onm_l = onmers[lb]
+        uc_or = (onm_l - mc_or).astype(F)
+        uc_rc = (onm_l - mc_rc).astype(F)
+        rho_l = self._rho_slot[ls].astype(F)
+        xsf = xs.astype(F)
+        bx_or = jnp.einsum("kx,x->k", h_or.astype(F), xsf)
+        bx_rc = jnp.einsum("kx,x->k", h_rc.astype(F), xsf)
+        A2 = jnp.concatenate([mc_or.astype(F), mc_rc.astype(F)])
+        Bx2 = jnp.concatenate([bx_or, bx_rc])
+        uc2 = jnp.concatenate([uc_or, uc_rc])
+        rho2 = jnp.concatenate([rho_l, rho_l])
+        # lanes are already compact — run the solver on all of them (its
+        # per-lane trajectory is independent of neighboring lanes)
+        d2, v2 = brent_find_minima(
+            lambda dd: self._llh_fast(dd, A2, Bx2, uc2, rho2), (2 * K,))
+        d_or = jnp.where(keep_or, d2[:K], D_MAX)
+        d_rc = jnp.where(keep_rc, d2[K:], D_MAX)
+        v_or = jnp.where(keep_or, v2[:K], 0.0)
+        v_rc = jnp.where(keep_rc, v2[K:], 0.0)
 
         # strand choice for the resolved map (ref: src/query.cpp:126-134):
         # the rc entry is replaced by the or-version when the or strand
@@ -582,65 +617,110 @@ class QueryEngine:
         or_wins = (d_rc > d_or) | ((d_rc == d_or) & (mc_rc < mc_or))
         use_or = jnp.where(keep_rc, or_wins & keep_or, keep_or)
         use_rc = keep_rc & jnp.logical_not(use_or)
-        present = use_or | use_rc
+        present_l = use_or | use_rc
 
-        def pick(a_or, a_rc):
-            return jnp.where(use_or[..., None] if a_or.ndim == 3 else use_or,
-                             a_or, a_rc)
-
-        hist_f = pick(hist_or, hist_rc)
+        hist_f = jnp.where(use_or[:, None], h_or, h_rc)
         d_f = jnp.where(use_or, d_or, jnp.where(use_rc, d_rc, D_MAX))
         v_f = jnp.where(use_or, v_or, v_rc)
-        mc_f = pick(mc_or, mc_rc)
+        mc_f = jnp.where(use_or, mc_or, mc_rc)
         uc_f = jnp.where(use_or, uc_or, uc_rc)
 
         # closest scan (ref: src/query.cpp:103-137): or entries first, then
         # rc entries, "<=" so later wins ties; we resolve residual ties by
         # higher slot (reference order is hash-map dependent)
         big = jnp.float64(D_MAX)
-        slot_ids = jnp.arange(S, dtype=jnp.int32)
-        best_d = jnp.full((B,), big)
-        best_slot = jnp.full((B,), -1, jnp.int32)
-        best_strand = jnp.zeros((B,), jnp.int32)
-        dm_or = jnp.where(keep_or, d_or, big)
-        cand_or = jnp.min(dm_or, axis=1)
-        slot_or = jnp.max(jnp.where(keep_or & (dm_or == cand_or[:, None]),
-                                    slot_ids[None, :], -1), axis=1)
+
+        def closest(keep, dm):
+            cand = jax.ops.segment_min(jnp.where(keep, dm, big), seg,
+                                       num_segments=NB,
+                                       indices_are_sorted=True)[:B]
+            at = keep & (dm == cand[lb])
+            slot = jax.ops.segment_max(jnp.where(at, ls, -1), seg,
+                                       num_segments=NB,
+                                       indices_are_sorted=True)[:B]
+            return cand, slot
+
+        cand_or, slot_or = closest(keep_or, d_or)
         has_or = slot_or >= 0
-        best_d = jnp.where(has_or, cand_or, best_d)
-        best_slot = jnp.where(has_or, slot_or, best_slot)
-        dm_rc = jnp.where(keep_rc, d_rc, big)
-        cand_rc = jnp.min(dm_rc, axis=1)
-        slot_rc = jnp.max(jnp.where(keep_rc & (dm_rc == cand_rc[:, None]),
-                                    slot_ids[None, :], -1), axis=1)
+        best_d = jnp.where(has_or, cand_or, big)
+        best_slot = jnp.where(has_or, slot_or, -1)
+        cand_rc, slot_rc = closest(keep_rc, d_rc)
         rc_wins = (slot_rc >= 0) & (cand_rc <= best_d)
         best_d = jnp.where(rc_wins, cand_rc, best_d)
-        best_slot = jnp.where(rc_wins, slot_rc, best_slot)
-        best_strand = jnp.where(rc_wins, 1, best_strand)
+        best_slot = jnp.where(rc_wins, slot_rc, best_slot).astype(jnp.int32)
+        best_strand = jnp.where(rc_wins, 1, 0).astype(jnp.int32)
 
         # override the resolved map at the closest slot with the closest
         # version (ref: src/query.cpp:136-138)
-        is_best = (slot_ids[None, :] == best_slot[:, None])
-        rc_best = is_best & (best_strand[:, None] == 1)
-        or_best = is_best & (best_strand[:, None] == 0)
-        hist_f = jnp.where(rc_best[..., None], hist_rc, hist_f)
-        hist_f = jnp.where(or_best[..., None], hist_or, hist_f)
+        is_best = lv & (best_slot[lb] >= 0) & (ls == best_slot[lb])
+        rc_best = is_best & (best_strand[lb] == 1)
+        or_best = is_best & (best_strand[lb] == 0)
+        hist_f = jnp.where(rc_best[:, None], h_rc, hist_f)
+        hist_f = jnp.where(or_best[:, None], h_or, hist_f)
         d_f = jnp.where(rc_best, d_rc, jnp.where(or_best, d_or, d_f))
         v_f = jnp.where(rc_best, v_rc, jnp.where(or_best, v_or, v_f))
         mc_f = jnp.where(rc_best, mc_rc, jnp.where(or_best, mc_or, mc_f))
         uc_f = jnp.where(rc_best, uc_rc, jnp.where(or_best, uc_or, uc_f))
-        present = present | (is_best & (best_slot[:, None] >= 0))
+        present_l = present_l | is_best
 
         # chi-square LRT of every leaf vs the closest (ref: src/query.cpp:420-424)
-        hist_c = jnp.einsum("bs,bsx->bx", is_best.astype(F), hist_f.astype(F))
-        uc_c = jnp.sum(jnp.where(is_best, uc_f, 0.0), axis=1)
-        rho_c = jnp.sum(jnp.where(is_best, rho, 0.0), axis=1)
-        v_c = jnp.sum(jnp.where(is_best, v_f, 0.0), axis=1)
-        ratio = 2.0 * (self._llh(d_f, hist_c[:, None, :], uc_c[:, None],
-                                 rho_c[:, None]) - v_c[:, None])
+        def best_sum(x):
+            return jax.ops.segment_sum(jnp.where(is_best, x, 0.0), seg,
+                                       num_segments=NB,
+                                       indices_are_sorted=True)[:B]
 
-        return (present, hist_f, d_f, v_f, mc_f, uc_f, rho,
-                best_slot, best_d, hist_c, uc_c, rho_c, v_c, ratio)
+        hist_c = jax.ops.segment_sum(
+            jnp.where(is_best[:, None], hist_f.astype(F), 0.0), seg,
+            num_segments=NB, indices_are_sorted=True)[:B]
+        uc_c = best_sum(uc_f)
+        rho_c = best_sum(rho_l)
+        v_c = best_sum(v_f)
+        ratio_l = 2.0 * (self._llh(d_f, hist_c[lb], uc_c[lb], rho_c[lb])
+                         - v_c[lb])
+
+        return dict(idx=idx, lv=lv, lb=lb, ls=ls, lane_over=lane_over,
+                    present_l=present_l, hist_f=hist_f, d_f=d_f, v_f=v_f,
+                    mc_f=mc_f, uc_f=uc_f, rho_l=rho_l, best_slot=best_slot,
+                    best_d=best_d, hist_c=hist_c, uc_c=uc_c, rho_c=rho_c,
+                    v_c=v_c, ratio_l=ratio_l)
+
+    def _stage2_impl(self, hist_or, hist_rc, minall_or, minall_rc, onmers,
+                     leaf_ok, lane_cap: Optional[int] = None):
+        """Dense [B, S] view of the lane-compacted stage 2 (scatter-back).
+
+        lane_cap=None runs at full capacity (B*S lanes — cannot overflow;
+        the exact fallback). Returns (the dense 14-tuple, lane_over)."""
+        B = hist_or.shape[0]
+        S = self.S
+        BS = B * S
+        X = self.th + 1
+        K = BS if lane_cap is None else min(BS, lane_cap)
+        L = self._stage2_lanes(hist_or, hist_rc, minall_or, minall_rc,
+                               onmers, leaf_ok, K)
+        idx = L["idx"]
+
+        def scat(init, val):
+            return init.at[idx].set(val, mode="drop").reshape(
+                (B, S) + val.shape[1:])
+
+        present = scat(jnp.zeros((BS,), bool), L["present_l"])
+        hist_f = scat(jnp.zeros((BS, X), jnp.int32), L["hist_f"])
+        d_f = scat(jnp.full((BS,), D_MAX, F), L["d_f"])
+        v_f = scat(jnp.zeros((BS,), F), L["v_f"])
+        mc_f = scat(jnp.zeros((BS,), jnp.int32), L["mc_f"])
+        uc_base = jnp.broadcast_to(onmers[:, None].astype(F),
+                                   (B, S)).reshape(BS)
+        uc_f = scat(uc_base, L["uc_f"])
+        # absent lanes carry d = D_MAX, so their dense ratio is one
+        # read-constant value (NaN through log(1 - D_MAX), as before)
+        ratio_row = 2.0 * (self._llh(jnp.full((B,), D_MAX, F), L["hist_c"],
+                                     L["uc_c"], L["rho_c"]) - L["v_c"])
+        ratio = scat(jnp.repeat(ratio_row, S), L["ratio_l"])
+        rho = jnp.broadcast_to(self._rho_slot[None, :], (B, S)).astype(F)
+        out = (present, hist_f, d_f, v_f, mc_f, uc_f, rho,
+               L["best_slot"], L["best_d"], L["hist_c"], L["uc_c"],
+               L["rho_c"], L["v_c"], ratio)
+        return out, L["lane_over"]
 
     def _probe_dispatch(self, tables, codes, lengths, exact: bool = False,
                         tier: int = 0):
@@ -663,29 +743,39 @@ class QueryEngine:
         L = packed.shape[1] * 16
         codes = codec.unpack_codes(packed, lengths, L, vbits)
         probe_out = self._probe_dispatch(tables, codes, lengths, exact, tier)
-        out = self._stage2_impl(*probe_out[:5], leaf_ok)
         onmers, overflow = probe_out[4], probe_out[5]
+        B = codes.shape[0]
+        S = self.S
+        lane_cap = None if exact else min(
+            B * S, max(8 * B, 4096) << (2 * tier))
         if out_mode in ("dist", "dist_ratio"):
-            (present, _hist, d_f, _v, _mc, _uc, _rho, best_slot, _best_d,
-             hist_c, uc_c, _rho_c, v_c, _ratio) = out
             from ..core.compact import compact_mask_indices
 
-            B, S = present.shape
+            lanes = self._stage2_lanes(
+                *probe_out[:5], leaf_ok, B * S if lane_cap is None
+                else lane_cap)
+            overflow = overflow | lanes["lane_over"]
+            present = jnp.zeros((B * S,), bool).at[lanes["idx"]].set(
+                lanes["present_l"], mode="drop").reshape(B, S)
             bits = codec.pack_bits_device(present)
             # compact present-lane distances in index order: the first n
             # entries are exactly np.flatnonzero(present) — no index fetch
-            # needed (host re-derives lanes from the bitmap)
+            # needed (host re-derives lanes from the bitmap). present lanes
+            # are a subset of the (already ascending) stage-2 lane set.
             K = min(B * S, max(8 * B, 1024))
-            pf = present.reshape(-1)
-            idx, nset = compact_mask_indices(pf, K)
-            dval = d_f.reshape(-1)[idx]
+            pl = lanes["present_l"]
+            pidx, nset = compact_mask_indices(pl, K)
+            dval = lanes["d_f"][jnp.minimum(pidx, pl.shape[0] - 1)]
             fetch_over = nset > K
-            base = (bits, dval, best_slot.astype(jnp.int32))
+            base = (bits, dval, lanes["best_slot"].astype(jnp.int32))
             if out_mode == "dist_ratio":
-                base = base + (hist_c.astype(jnp.int32),
-                               uc_c.astype(jnp.int32), v_c)
+                base = base + (lanes["hist_c"].astype(jnp.int32),
+                               lanes["uc_c"].astype(jnp.int32),
+                               lanes["v_c"])
             return base + (fetch_over, overflow)
-        return tuple(out) + (onmers, overflow)
+        out, lane_over = self._stage2_impl(*probe_out[:5], leaf_ok,
+                                           lane_cap=lane_cap)
+        return tuple(out) + (onmers, overflow | lane_over)
 
     # -------------------------------------------------------------- public
     def suggested_batch_reads(self, place: bool = False) -> int:

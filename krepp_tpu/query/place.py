@@ -137,7 +137,9 @@ class PlaceAggregator:
         codes = _codec.unpack_codes(packed, lengths, packed.shape[1] * 16,
                                     vbits)
         probe_out = eng._probe_dispatch(tables, codes, lengths, exact)
-        out = eng._stage2_impl(*probe_out[:5], leaf_ok)
+        lane_cap = None if exact else max(8 * codes.shape[0], 4096)
+        out, lane_over = eng._stage2_impl(*probe_out[:5], leaf_ok,
+                                          lane_cap=lane_cap)
         (present, hist_f, d_f, v_f, mc_f, uc_f, _rho, best_slot, best_d,
          hist_c, uc_c, rho_c, v_c, _ratio) = out
         onmers, overflow = probe_out[4], probe_out[5]
@@ -161,7 +163,7 @@ class PlaceAggregator:
         safe = jnp.minimum(cand_idx, flat.shape[0] - 1)
         cand_d = d_q.reshape(-1)[safe]
         cand_v = v_q.reshape(-1)[safe]
-        overflow = overflow | (n_cand > K)
+        overflow = overflow | lane_over | (n_cand > K)
         return (present, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
                 cand_idx, cand_d, cand_v, n_cand, onmers, overflow)
 
