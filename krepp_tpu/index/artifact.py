@@ -57,7 +57,9 @@ def save_native(built: BuiltIndex, index_dir: str, seed: int = 0,
     }
     with open(os.path.join(index_dir, f"meta{sfx}.json"), "w") as f:
         json.dump(meta, f, indent=1)
-    np.savez_compressed(
+    # uncompressed: zlib costs ~20s single-threaded on a big index while
+    # the arrays are nearly incompressible hashes; np.load reads both
+    np.savez(
         os.path.join(index_dir, f"arrays{sfx}.npz"),
         enc_v=built.enc_v, se_v=built.se_v, inc=built.inc,
         leaf_off=built.colors.leaf_off, leaf_list=built.colors.leaf_list,

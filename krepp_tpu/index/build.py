@@ -120,8 +120,12 @@ def build_index_from_sources(names: List[str], contig_source,
                              num_threads: int = 1) -> BuiltIndex:
     """Core build: contig_source[name]() yields per-contig code arrays.
 
-    num_threads > 1 prefetches genome files with a host thread pool while
-    the device winnows (the device work itself serializes on one chip).
+    num_threads > 1 runs the whole per-genome extraction (file read +
+    winnow + LSH + HLL) on a host thread pool — the native winnower is a
+    pure C call that releases the GIL, so genomes winnow truly in parallel
+    (the TPU-native analogue of the reference's per-leaf OpenMP tasks,
+    ref: src/krepp.cpp:248-303). Results are consumed in input order, so
+    the built index is independent of the pool schedule.
     """
     tree, ftree, leaf_se = _prepare_tree(names, tree)
 
@@ -129,9 +133,18 @@ def build_index_from_sources(names: List[str], contig_source,
     if num_threads > 1:
         from concurrent.futures import ThreadPoolExecutor
 
+        from ..core.native_sort import sort_unique_pairs
+
+        def _extract_dedup(n):
+            rows, res, g_rho = _extract_genome(list(contig_source[n]()),
+                                               params)
+            rows, res = sort_unique_pairs(rows, res, inplace=True)
+            return rows, res, g_rho
+
         pool = ThreadPoolExecutor(num_threads)
-        fetched = {n: pool.submit(lambda n=n: list(contig_source[n]()))
-                   for n in names if n in contig_source}
+        fetched = {n: pool.submit(_extract_dedup, n)
+                   for n in names
+                   if n in contig_source and leaf_se.get(n) is not None}
 
     def extracted():
         count = 0
@@ -143,38 +156,52 @@ def build_index_from_sources(names: List[str], contig_source,
                 if progress:
                     print(f"Genome skipped: {name}", file=sys.stderr)
                 continue
-            contigs = (fetched[name].result() if name in fetched
-                       else contig_source[name]())
-            rows, res, g_rho = _extract_genome(contigs, params)
+            if name in fetched:
+                rows, res, g_rho = fetched[name].result()
+            else:
+                rows, res, g_rho = _extract_genome(contig_source[name](),
+                                                   params)
+                from ..core.native_sort import sort_unique_pairs
+
+                rows, res = sort_unique_pairs(rows, res, inplace=True)
             if progress:
                 print(f"Leaf node: {name}\tsize: {len(rows)}\t"
                       f"progress: {count}/{ftree.nnodes}", file=sys.stderr)
             yield name, rows, res, g_rho
 
     return build_index_from_extracted(names, extracted(), params, tree,
-                                      ftree, leaf_se)
+                                      ftree, leaf_se, deduped=True)
 
 
 def build_index_from_extracted(names: List[str], extracted,
                                params: IndexParams, tree: Tree,
                                ftree: Optional[FlatTree] = None,
-                               leaf_se=None) -> BuiltIndex:
+                               leaf_se=None, deduped: bool = False
+                               ) -> BuiltIndex:
     """Merge + color pre-winnowed genomes.
 
     extracted yields (name, rows, res, rho) per genome — the seam between
     the (sequential | mesh-sharded) winnowing front ends and the shared
-    sort-and-group union."""
+    sort-and-group union. deduped=True promises per-genome-unique tuples
+    (skips the dedupe pass here)."""
     if ftree is None:
         tree, ftree, leaf_se = _prepare_tree(names, tree)
     all_rows: List[np.ndarray] = []
     all_res: List[np.ndarray] = []
     all_leaf: List[np.ndarray] = []
     rho = np.zeros(ftree.nnodes + 1)
+    from ..core.native_sort import sort_unique_pairs
+
     for name, rows, res, g_rho in extracted:
         se = leaf_se.get(name)
         if se is None:
             continue
-        rows, res = _dedupe_genome(rows, res)
+        if not deduped:
+            # per-genome dedupe (ref: src/table.cpp:157-166): the winnower
+            # emits one tuple per minimizer run, so raw streams carry ~4x
+            # duplicates; deduping here (native radix) keeps the global
+            # sort small
+            rows, res = sort_unique_pairs(rows, res)
         rho[se] = g_rho
         all_rows.append(rows)
         all_res.append(res)
@@ -192,44 +219,85 @@ def build_index_from_extracted(names: List[str], extracted,
                       se_v=se_v, inc=inc, colors=colors, ftree=ftree)
 
 
+def _mask_leafset(mask: np.ndarray, W: int) -> tuple:
+    """uint64[W] bitmask -> ascending tuple of set leaf ids."""
+    ls = []
+    for wd in range(W):
+        mw = int(mask[wd])
+        while mw:
+            b = mw & -mw
+            ls.append(wd * 64 + b.bit_length() - 1)
+            mw ^= b
+    return tuple(ls)
+
+
 def _merge_and_color(rows: np.ndarray, res: np.ndarray, leaf: np.ndarray,
                      params: IndexParams, ftree: FlatTree, rho: np.ndarray):
-    """Global sorted merge (the union tree collapsed to one sort) + colors."""
-    key = rows.astype(np.uint64) << np.uint64(32) | res.astype(np.uint64)
-    order = np.lexsort((leaf, key))  # groups contiguous, leaf-sorted inside
-    key = key[order]
-    leaf = leaf[order]
-    uniq, starts = np.unique(key, return_index=True)
-    ends = np.append(starts[1:], len(key))
-    sizes = ends - starts
+    """Global sorted merge (the union tree collapsed to one sort) + colors.
+
+    One stable radix sort by (row, residual) key makes every k-mer's group
+    contiguous (leaf order within a group is irrelevant: groups reduce to a
+    leaf-set bitmask); group boundaries come from a neighbor-compare scan
+    rather than np.unique (which would re-sort the already-sorted keys)."""
+    from ..core.native_sort import pack_keys, sort_kv
+
+    key = pack_keys(rows, res)
+    key, leaf_u = sort_kv(key, leaf.astype(np.uint32))
+    leaf = leaf_u.astype(np.int32)
+    new_group = np.empty(len(key), bool)
+    new_group[0] = True
+    np.not_equal(key[1:], key[:-1], out=new_group[1:])
+    starts = np.flatnonzero(new_group)
+    uniq = key[starts]
+    starts_full = np.empty(len(starts) + 1, np.int64)
+    starts_full[:-1] = starts
+    starts_full[-1] = len(key)
+    sizes = np.diff(starts_full)
 
     builder = ColorBuilder(ftree)
     se_v = np.empty(len(uniq), np.int32)
-    # fast path: k-mers private to one genome keep that leaf's id
-    single = sizes == 1
-    se_v[single] = leaf[starts[single]]
-    multi = np.flatnonzero(~single)
-    if len(multi):
-        # vectorized subset identification: per-group leaf-set bitmask over
-        # (nnodes+1) bits, reduced with bitwise_or.reduceat, then a Python
-        # loop over *unique* subsets only
-        W = (ftree.nnodes + 1 + 63) // 64
-        bits = np.zeros((len(leaf), W), np.uint64)
-        bits[np.arange(len(leaf)), leaf // 64] = np.uint64(1) << (
-            leaf.astype(np.uint64) % np.uint64(64))
-        gmask = np.bitwise_or.reduceat(bits, starts, axis=0)[multi]
-        umask, inv = np.unique(gmask, axis=0, return_inverse=True)
-        ucolor = np.empty(len(umask), np.int32)
-        for i, mask in enumerate(umask):
-            ls = []
-            for wd in range(W):
-                mw = int(mask[wd])
-                while mw:
-                    b = mw & -mw
-                    ls.append(wd * 64 + b.bit_length() - 1)
-                    mw ^= b
-            ucolor[i] = builder.color_of(tuple(ls))
-        se_v[multi] = ucolor[inv]
+    W = (ftree.nnodes + 1 + 63) // 64
+    from ..core import native_colorize
+
+    native = native_colorize.color_groups(starts_full, leaf, W)
+    if native is not None:
+        # one C pass: uniform groups resolve to their leaf id, multi-leaf
+        # groups to an interned unique-mask uid (first-encounter order);
+        # masks are then lexsorted so color-id assignment is identical to
+        # the numpy path below
+        se_out, umask = native
+        uniform = se_out >= 0
+        se_v[uniform] = se_out[uniform]
+        nmulti = int((~uniform).sum())
+        if nmulti:
+            order = np.lexsort(umask.T[::-1])
+            ucolor = np.empty(len(umask), np.int32)
+            for i in order:
+                ucolor[i] = builder.color_of(_mask_leafset(umask[i], W))
+            se_v[~uniform] = ucolor[-se_out[~uniform] - 1]
+    else:
+        # numpy fallback: per-group leaf-set bitmask via scatter-OR over
+        # multi-leaf groups only, then a Python loop over *unique* subsets
+        gmin = np.minimum.reduceat(leaf, starts)
+        gmax = np.maximum.reduceat(leaf, starts)
+        uniform = gmin == gmax
+        se_v[uniform] = gmin[uniform]
+        multi = np.flatnonzero(~uniform)
+        if len(multi):
+            sel = np.repeat(~uniform, sizes)
+            gid = np.repeat(np.arange(len(multi), dtype=np.int64),
+                            sizes[multi])
+            lm = leaf[sel].astype(np.int64)
+            flat = np.zeros(len(multi) * W, np.uint64)
+            np.bitwise_or.at(
+                flat, gid * W + (lm >> 6),
+                np.uint64(1) << (lm & 63).astype(np.uint64))
+            gmask = flat.reshape(len(multi), W)
+            umask, inv = np.unique(gmask, axis=0, return_inverse=True)
+            ucolor = np.empty(len(umask), np.int32)
+            for i, mask in enumerate(umask):
+                ucolor[i] = builder.color_of(_mask_leafset(mask, W))
+            se_v[multi] = ucolor[inv]
 
     g_rows = (uniq >> np.uint64(32)).astype(np.int64)
     enc_v = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
@@ -242,10 +310,16 @@ def _merge_and_color(rows: np.ndarray, res: np.ndarray, leaf: np.ndarray,
 
 def build_sketch(path: str, params: IndexParams, progress: bool = True) -> BuiltSketch:
     """Single-genome sketch (ref: src/krepp.cpp:110-119)."""
+    from ..core.native_sort import sort_k
+
     rows, res, rho = _extract_genome(read_genome_codes(path), params)
-    rows, res = _dedupe_genome(rows, res)
     key = rows.astype(np.uint64) << np.uint64(32) | res.astype(np.uint64)
-    key = np.unique(key)
+    key = sort_k(key)
+    if len(key):
+        keep = np.empty(len(key), bool)
+        keep[0] = True
+        np.not_equal(key[1:], key[:-1], out=keep[1:])
+        key = key[keep]
     g_rows = (key >> np.uint64(32)).astype(np.int64)
     enc_v = (key & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     nrows = params.nrows_local
