@@ -171,15 +171,33 @@ int64_t fastx_read_chunk(void *h, int64_t max_records, int64_t max_bases,
                     codes[base_pos++] = NT4[(unsigned char)f->linebuf[i]];
             }
         } else {
-            /* FASTQ: one sequence line, then '+', then quality */
-            len = read_line(f);
-            if (len < 0) {
-                f->state = 3;
-            } else {
+            /* FASTQ (kseq semantics, ref src/kseq.h:116-170): the sequence
+             * spans every line up to the '+' separator; quality lines then
+             * accumulate until their total length reaches the sequence
+             * length, so wrapped records parse exactly like kseq */
+            int64_t seq_len = 0;
+            for (;;) {
+                len = read_line(f);
+                if (len < 0) {
+                    f->state = 3;
+                    break;
+                }
+                if (len > 0 && f->linebuf[0] == '+')
+                    break;
                 for (long i = 0; i < len; i++)
                     codes[base_pos++] = NT4[(unsigned char)f->linebuf[i]];
-                read_line(f); /* + */
-                read_line(f); /* quality */
+                seq_len += len;
+            }
+            if (f->state != 3) {
+                int64_t qlen = 0;
+                while (qlen < seq_len) {
+                    len = read_line(f);
+                    if (len < 0) {
+                        f->state = 3;
+                        break;
+                    }
+                    qlen += len;
+                }
             }
         }
         rec++;

@@ -122,11 +122,14 @@ def load_native_device(index_dir: str) -> DeviceIndex:
             meta = json.load(f)
         di = DeviceIndex.from_built(built)
         di.wbackbone = bool(meta.get("wbackbone"))
+        di.res_info = {int(r): _native_info(meta, built.params)
+                       for r in _partial_residues(built.params)}
         return di
     partials = []
     names: List[str] = []
     wbackbone = False
     tree: Optional[Tree] = None
+    res_info: Dict[int, str] = {}
     for sfx in sfxs:
         meta, params, z, colors = _load_native_partial(index_dir, sfx)
         names = meta["names"]
@@ -136,8 +139,11 @@ def load_native_device(index_dir: str) -> DeviceIndex:
         g_rows = _local_rows_to_global(z["inc"].astype(np.int64), params)
         partials.append((params, g_rows, z["enc_v"],
                          z["se_v"].astype(np.int64), colors))
+        for r in _partial_residues(params):
+            res_info[int(r)] = _native_info(meta, params)
     di = _merge_partials(partials, tree, names, wbackbone)
     di.wbackbone = wbackbone
+    di.res_info = res_info
     return di
 
 
@@ -311,6 +317,42 @@ def save_index_reference(built: BuiltIndex, index_dir: str, seed: int = 0,
         f.write(f"sdust-t: {p.sdust_t}\nsdust-w: {p.sdust_w}\n")
 
 
+def _fallback_info(params: IndexParams, nrows: int, nkmers: int) -> str:
+    """Byte-identical to the reference's partial-info fallback when no
+    metadata .txt file exists (ref: src/index.cpp:121-141)."""
+    p = params
+    ppos_desc = sorted(p.lsh.ppos, reverse=True)
+    return ("krepp version: ?\ndate: ?\nseed: ?\n"
+            f"k: {p.k}\nw: {p.w}\nh: {p.h}\nm: {p.m}\n"
+            + ("frac: true\n" if p.frac else "frac: false\n")
+            + "ppos_v: [" + ", ".join(map(str, ppos_desc)) + "]\n"
+            + "npos_v: [" + ", ".join(map(str, p.lsh.npos)) + "]\n"
+            + f"nrows: {nrows}\ntotal_num_kmers: {nkmers}\n"
+            + "sdust-t: ?\nsdust-w: ?\n")
+
+
+def _native_info(meta: dict, params: IndexParams) -> str:
+    """Reference save_info-format block for native artifacts
+    (ref: src/krepp.cpp:187-204), with the fields meta.json records."""
+    p = params
+    ppos_desc = sorted(p.lsh.ppos, reverse=True)
+    return (f"krepp version: {REFERENCE_VERSION}\ndate: ?\n"
+            f"seed: {meta.get('seed', '?')}\n"
+            f"k: {p.k}\nw: {p.w}\nh: {p.h}\nm: {p.m}\n"
+            + ("frac: true\n" if p.frac else "frac: false\n")
+            + "ppos_v: [" + ", ".join(map(str, ppos_desc)) + "]\n"
+            + "npos_v: [" + ", ".join(map(str, p.lsh.npos)) + "]\n"
+            + f"nrows: {meta['nrows']}\n"
+            + f"total_num_kmers: {meta['nkmers']}\n"
+            + f"sdust-t: {p.sdust_t}\nsdust-w: {p.sdust_w}\n")
+
+
+def _partial_residues(params: IndexParams):
+    """Residues a partial serves: frac partials cover 0..r
+    (ref: src/index.cpp:144-156)."""
+    return range(params.r + 1) if params.frac else [params.r]
+
+
 def _scan_reference_dir(index_dir: str) -> Dict[str, set]:
     """Group files by -m{m}r{r}-{frac} suffix (ref: src/krepp.cpp:66-108)."""
     suffix_to_ltype: Dict[str, set] = {}
@@ -418,6 +460,7 @@ def load_index_reference(index_dir: str) -> DeviceIndex:
     names: List[str] = []
     wbackbone = False
     partials = []
+    res_info: Dict[int, str] = {}
     for sfx, ltypes in sorted(groups.items()):
         if not need <= ltypes:
             raise ValueError("There is a partial index with a missing file!")
@@ -447,6 +490,15 @@ def load_index_reference(index_dir: str) -> DeviceIndex:
             nnodes_f, nsubsets = struct.unpack("<II", f.read(8))
             pse = np.fromfile(f, dtype="<u4", count=2 * nsubsets).reshape(-1, 2)
             rho = np.fromfile(f, dtype="<f8", count=nnodes_f)
+        # partial info block for `inspect`: the metadata .txt verbatim when
+        # present, else the reference's "?" fallback (src/index.cpp:120-141)
+        txt_path = os.path.join(index_dir, "metadata" + sfx + ".txt")
+        if os.path.exists(txt_path):
+            info = open(txt_path).read()
+        else:
+            info = _fallback_info(params, nrows, len(pairs))
+        for r in _partial_residues(params):
+            res_info[int(r)] = info
         partials.append((params, pairs, inc, pse, rho))
 
     ftree = FlatTree.from_tree(tree)
@@ -457,4 +509,11 @@ def load_index_reference(index_dir: str) -> DeviceIndex:
         g_rows = _local_rows_to_global(inc, params)
         merged.append((params, g_rows, pairs[:, 0],
                        pairs[:, 1].astype(np.int64), part_colors))
-    return _merge_partials(merged, tree, names, wbackbone)
+    di = _merge_partials(merged, tree, names, wbackbone)
+    di.res_info = res_info
+    if len(partials) == 1:
+        # keep the binary color-decomposition graph for `inspect`'s
+        # OUTDEGREE histogram (ref: src/record.cpp:257-276); multi-partial
+        # merges remap composite ids, so the per-partial graphs don't apply
+        di.se_pse = partials[0][3]
+    return di

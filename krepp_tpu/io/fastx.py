@@ -92,13 +92,29 @@ def read_fastx(path: str) -> Iterator[Tuple[str, str]]:
                     parts.append(line.strip())
             yield name, "".join(parts)
         elif line.startswith("@"):
+            # kseq semantics (ref: src/kseq.h:116-170): the sequence spans
+            # every line up to the '+' separator; quality lines accumulate
+            # until their total length reaches the sequence length, so
+            # wrapped (multi-line) FASTQ parses exactly like kseq
             while True:
                 name = _rec_name(line[1:])
-                seq = f.readline().strip()
-                f.readline()  # '+'
-                f.readline()  # quality
+                parts = []
+                while True:
+                    line = f.readline()
+                    if not line or line.startswith("+"):
+                        break
+                    parts.append(line.strip())
+                seq = "".join(parts)
+                qlen = 0
+                while qlen < len(seq):
+                    qline = f.readline()
+                    if not qline:
+                        break
+                    qlen += len(qline.strip())
                 yield name, seq
                 line = f.readline()
+                while line and not line.strip():
+                    line = f.readline()
                 if not line:
                     return
         else:
