@@ -323,6 +323,12 @@ def main():
                 place_throughput("base"), 1)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] place bench failed: {e}", file=sys.stderr)
+    try:
+        if time_left() > 350:
+            extras["place_1k_reads_per_s"] = round(
+                place_throughput("1k", n_batches=4), 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] 1k place bench failed: {e}", file=sys.stderr)
 
     vs_baseline = 1.0
     try:

@@ -22,7 +22,7 @@ from ..index.index import DeviceIndex, PlacementView
 from ..io.fastx import QueryBatcher
 from ..reports import (begin_jplace, end_jplace, fmt5, fmt5_array,
                        jplace_fields, jukes_cantor, place_header)
-from .engine import QueryEngine, LeafResults
+from .engine import QueryEngine, LeafResults, D_MAX
 from .dist import _bucket_len
 
 
@@ -39,7 +39,21 @@ class PlaceConfig:
 
 
 class PlaceAggregator:
-    """Stage 3: leaf minfos -> per-placement-node stats (jitted)."""
+    """Stage 3: leaf minfos -> per-placement-node stats (jitted).
+
+    Two formulations share the candidate semantics
+    (ref: src/query.cpp:218-296):
+
+      * dense (`_agg_impl`, the `aggregate` API): damping-weight einsums
+        over the full [B, Q+1, S] grid — exact but O(B*Q*S), kept for
+        small trees and as the oracle for the lane path;
+      * lanes (`_place_impl`, the production fused step): every present
+        stage-2 (read, leaf) lane expands to its <= Dmax ancestor events,
+        events sort by (read, qnode) and segment-reduce into compact
+        node-lanes, and the Brent re-optimisation runs only on the
+        compacted *candidate* lanes. Work scales with matches * depth,
+        independent of S — the many-genome (S~10^3+) formulation.
+    """
 
     def __init__(self, engine: QueryEngine, pv: PlacementView, cfg: PlaceConfig):
         self.engine = engine
@@ -61,6 +75,30 @@ class PlaceAggregator:
         # with a parent (ref: src/query.cpp:268-281)
         self._cand_struct = jnp.asarray(pv.candidate_ok
                                         & (pv.qflat.parent != 0))
+        # per-slot ancestor chains for the lane path: post-order ids grow
+        # root-ward, so np.flatnonzero yields leaf-first order (j=0 is the
+        # slot's own qtree leaf node)
+        S = engine.S
+        W = pv.weights
+        anc_lists = [np.flatnonzero(W[:, s] > 0) for s in range(S)]
+        Dmax = max((len(a) for a in anc_lists), default=0)
+        self._Dmax = max(Dmax, 1)
+        anc_q = np.zeros((S, self._Dmax), np.int32)
+        anc_w = np.zeros((S, self._Dmax), np.float64)
+        for s, a in enumerate(anc_lists):
+            anc_q[s, : len(a)] = a
+            anc_w[s, : len(a)] = W[a, s]
+        self._anc_q = jnp.asarray(anc_q)
+        self._anc_w = jnp.asarray(anc_w)
+        is_owner = np.zeros(S, bool)
+        for s, q in enumerate(pv.leaf_qse):
+            if q > 0 and leaf_of_q[q] == s:
+                is_owner[s] = True
+        self._is_owner = jnp.asarray(is_owner)
+        self._rho_of_q = jnp.asarray(
+            np.where(leaf_of_q >= 0,
+                     np.asarray(engine.di.rho_slot)[np.maximum(leaf_of_q, 0)],
+                     0.0))
         self._agg_jit = jax.jit(self._agg_impl)
         self._place_jits = {}
 
@@ -119,72 +157,159 @@ class PlaceAggregator:
         return jax.device_get(tuple(out))
 
     def _place_impl(self, tables, packed, vbits, lengths, leaf_ok,
-                    exact: bool = False):
-        """Fused probe + stage 2 + placement aggregation, returning a
+                    tier: int = 0):
+        """Fused probe + stage 2 + LANE placement aggregation, returning a
         device-compacted candidate list.
 
-        The dense [B, Q] d/v grids dominated the fetched bytes (the remote
-        device link is the pipeline bottleneck), so the pre-chisq candidate
-        mask — support & structural gate & leq_tau & multi-read activity
-        (ref: src/query.cpp:218-281) — is compacted on device to at most K
-        (read, qnode) lanes; the chi-square LRT itself stays on host f64
-        over just those lanes. exact=True sizes K to the full grid (the
-        overflow retier), so compaction can never truncate."""
+        Work model (ref: src/query.cpp:218-296): each present (read, leaf)
+        lane contributes its Minfo to every ancestor of the leaf in the
+        placement tree with the damping weight (pp_map's denominators).
+        Events (lane x ancestor) sort by (read, qnode) and segment-reduce
+        into compact node-lanes; leaf node-lanes take the owning slot's
+        strand-resolved minfo verbatim; the candidate gate — support &
+        structural & leq_tau & multi-read activity — is applied per lane,
+        candidates compact to Kc slots, and only those run the Brent
+        re-optimisation. No [B, Q+1] or [B, Q+1, S] array is ever
+        materialised, so cost is matches * tree-depth, independent of S.
+
+        tier > 0 re-runs with 16x (tier 1) / 256x (tier 2) capacities and
+        an exact full-depth probe; every cap carries an overflow flag."""
         from ..core import codec as _codec
         from ..core.compact import compact_mask_indices
 
         eng = self.engine
+        X = eng.th + 1
+        tau = self.cfg.tau
         codes = _codec.unpack_codes(packed, lengths, packed.shape[1] * 16,
                                     vbits)
-        probe_out = eng._probe_dispatch(tables, codes, lengths, exact)
-        lane_cap = None if exact else max(8 * codes.shape[0], 4096)
-        out, lane_over = eng._stage2_impl(*probe_out[:5], leaf_ok,
-                                          lane_cap=lane_cap)
-        (present, hist_f, d_f, v_f, mc_f, uc_f, _rho, best_slot, best_d,
-         hist_c, uc_c, rho_c, v_c, _ratio) = out
+        exact = tier > 0
+        probe_out = eng._probe_dispatch(tables, codes, lengths, exact, tier)
         onmers, overflow = probe_out[4], probe_out[5]
-        (_hist_q, _uc_q, _rho_q, d_q, v_q, support, leq_tau, _chisq) = \
-            self._agg_impl(present, hist_f, mc_f, d_f, v_f, uc_f,
-                           onmers, lengths, hist_c, uc_c, rho_c, v_c)
+        B = codes.shape[0]
+        S = eng.S
+        Qp = self.Q + 1
+        K = min(B * S, max(8 * B, 4096) << (4 * tier))
+        L = eng._stage2_lanes(*probe_out[:5], leaf_ok, K)
+        overflow = overflow | L["lane_over"]
+        lb, ls, lv, pl = L["lb"], L["ls"], L["lv"], L["present_l"]
+        best_slot, best_d = L["best_slot"], L["best_d"]
+        hist_c, uc_c, rho_c, v_c = (L["hist_c"], L["uc_c"], L["rho_c"],
+                                    L["v_c"])
+        seg_b = jnp.where(lv, lb, B)
+        n_pres = jax.ops.segment_sum(pl.astype(jnp.int32), seg_b,
+                                     num_segments=B + 1,
+                                     indices_are_sorted=True)[:B]
 
-        tau = self.cfg.tau
-        n_pres = jnp.sum(present, axis=1)
+        # ---- expand lanes to ancestor events
+        Dm = self._Dmax
+        M = K * Dm
+        q_e = self._anc_q[ls]                      # [K, Dm]
+        own = self._is_owner[ls] & lv              # [K]
+        valid = pl[:, None] & (q_e > 0)
+        # the j=0 (own-leaf) event also rides for non-present owner lanes,
+        # carrying the leaf override payload (weight-masked to 0 below)
+        valid = valid.at[:, 0].set((pl | own) & (q_e[:, 0] > 0))
+        big = B * Qp
+        assert big < 2**31, "read-batch x tree too large for int32 keys"
+        key_e = jnp.where(valid, lb[:, None] * Qp + q_e,
+                          big).reshape(M).astype(jnp.int32)
+        ks, ids = jax.lax.sort(
+            (key_e, jnp.arange(M, dtype=jnp.int32)), num_keys=1)
+        gvalid = ks < big
+        prev = jnp.concatenate([jnp.full((1,), -1, ks.dtype), ks[:-1]])
+        gfirst = (ks != prev) & gvalid
+        gid = jnp.maximum(jnp.cumsum(gfirst.astype(jnp.int32)) - 1, 0)
+
+        l_of = ids // Dm
+        j_of = ids - l_of * Dm
+        pl_e = pl[l_of] & gvalid
+        w_ev = jnp.where(pl_e, self._anc_w[ls[l_of], j_of], 0.0)
+        hist_l = L["hist_f"].astype(F)             # [K, X]
+        mc_l = L["mc_f"].astype(F)
+        rho_l = L["rho_l"]
+
+        def gsum(x):
+            return jax.ops.segment_sum(x, gid, num_segments=M,
+                                       indices_are_sorted=True)
+
+        histW = gsum(w_ev[:, None] * hist_l[l_of])          # [M, X]
+        matchW = gsum(w_ev * mc_l[l_of])
+        rhoM = jax.ops.segment_max(jnp.where(pl_e, rho_l[l_of], 0.0), gid,
+                                   num_segments=M, indices_are_sorted=True)
+        sup = gsum(pl_e.astype(jnp.int32)) > 0
+        o_flag = own[l_of] & (j_of == 0) & gvalid
+        o_has = gsum(o_flag.astype(jnp.int32)) > 0
+        o_hist = gsum(jnp.where(o_flag[:, None], hist_l[l_of], 0.0))
+        o_d = gsum(jnp.where(o_flag, L["d_f"][l_of], 0.0))
+        o_v = gsum(jnp.where(o_flag, L["v_f"][l_of], 0.0))
+        o_uc = gsum(jnp.where(o_flag, L["uc_f"][l_of], 0.0))
+        gkey = jax.ops.segment_max(jnp.where(gvalid, ks, -1), gid,
+                                   num_segments=M, indices_are_sorted=True)
+
+        # ---- per node-lane values (dense _agg_impl semantics)
+        gval = gkey >= 0
+        gkey_c = jnp.maximum(gkey, 0)
+        gb = gkey_c // Qp
+        gq = gkey_c - gb * Qp
+        isl = self._is_leaf_q[gq] & gval
+        enmers = (lengths - eng.lsh.k + 1).astype(F)
+        hist_q = jnp.where(isl[:, None],
+                           jnp.where(o_has[:, None], o_hist, 0.0), histW)
+        uc_q = jnp.where(isl,
+                         jnp.where(o_has, o_uc, onmers[gb].astype(F)),
+                         enmers[gb] - matchW)
+        rho_q = jnp.where(isl, self._rho_of_q[gq], rhoM)
+        leq_tau = jnp.sum(hist_q[:, : tau + 1], axis=1)
+
+        # ---- candidate gate + compaction
         leq_tau_c = jnp.sum(hist_c[:, : tau + 1], axis=1)
         active = (n_pres > 0) & (self.cfg.no_filter | (leq_tau_c > 1.0))
         multi_r = active & (n_pres > 1)
-        pre_cand = support & self._cand_struct[None, :] & multi_r[:, None]
+        pre_cand = (gval & sup & self._cand_struct[gq] & multi_r[gb])
         if not self.cfg.no_filter:
             pre_cand = pre_cand & (leq_tau > 1.0)
-        flat = pre_cand.reshape(-1)
-        B = present.shape[0]
-        K = flat.shape[0] if exact else min(flat.shape[0],
-                                            max(4096, 8 * B))
-        cand_idx, n_cand = compact_mask_indices(flat, K)
-        safe = jnp.minimum(cand_idx, flat.shape[0] - 1)
-        cand_d = d_q.reshape(-1)[safe]
-        cand_v = v_q.reshape(-1)[safe]
-        overflow = overflow | lane_over | (n_cand > K)
-        return (present, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
-                cand_idx, cand_d, cand_v, n_cand, onmers, overflow)
+        Kc = min(M, max(4096, 8 * B) << (4 * tier))
+        cidx, n_cand = compact_mask_indices(pre_cand, Kc)
+        overflow = overflow | (n_cand > Kc)
+        csafe = jnp.minimum(cidx, M - 1)
+        cand_key = gkey_c[csafe]
 
-    def run_place_async(self, codes, lengths, leaf_ok, exact: bool = False):
+        # ---- Brent only on compacted candidate lanes
+        c_hist = hist_q[csafe]
+        A_c = jnp.sum(c_hist, axis=1)
+        xs = jnp.arange(X, dtype=F)
+        Bx_c = jnp.einsum("kx,x->k", c_hist, xs)
+        d_opt, v_opt = brent_on_mask(
+            self._llh_fast, A_c, Bx_c, uc_q[csafe], rho_q[csafe],
+            jnp.logical_not(isl[csafe]) & sup[csafe])
+        c_isl = isl[csafe]
+        cand_d = jnp.where(c_isl,
+                           jnp.where(o_has[csafe], o_d[csafe], D_MAX),
+                           d_opt)
+        cand_v = jnp.where(c_isl,
+                           jnp.where(o_has[csafe], o_v[csafe], 0.0),
+                           v_opt)
+        return (n_pres, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
+                cand_key, cand_d, cand_v, n_cand, onmers, overflow)
+
+    def run_place_async(self, codes, lengths, leaf_ok, tier: int = 0):
         from ..core import codec as _codec
 
         eng = self.engine
-        if exact not in self._place_jits:
+        if tier not in self._place_jits:
             import functools
 
-            self._place_jits[exact] = jax.jit(
-                functools.partial(self._place_impl, exact=exact))
+            self._place_jits[tier] = jax.jit(
+                functools.partial(self._place_impl, tier=tier))
         packed, vbits = _codec.pack_codes_host(np.asarray(codes),
                                                np.asarray(lengths))
-        return self._place_jits[exact](
+        return self._place_jits[tier](
             eng._tables, jnp.asarray(packed),
             None if vbits is None else jnp.asarray(vbits),
             jnp.asarray(lengths), jnp.asarray(leaf_ok))
 
-    def run_place_exact(self, codes, lengths, leaf_ok):
-        return self.run_place_async(codes, lengths, leaf_ok, exact=True)
+    def run_place_exact(self, codes, lengths, leaf_ok, tier: int = 1):
+        return self.run_place_async(codes, lengths, leaf_ok, tier=tier)
 
     def chisq_host(self, d_q, hist_c, uc_c, rho_c, v_c) -> np.ndarray:
         """chisq_q = 2 (llh(d_q | closest) - v_closest) on host f64."""
@@ -236,14 +361,17 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
         nonlocal has_previous
         names_b, lengths_b, codes_b, dev = pending.popleft()
         fetched = jax.device_get(tuple(dev))
-        if bool(np.any(fetched[-1])):
-            # heavy-tail / candidate-capacity overflow: redo this batch with
-            # the exact scan + full-grid candidate capacity
+        for tier in (1, 2):
+            if not bool(np.any(fetched[-1])):
+                break
+            # heavy-tail / lane / candidate capacity overflow: escalate the
+            # capacity tier (16x per tier) with the exact full-depth probe
             fetched = jax.device_get(tuple(agg.run_place_exact(
-                codes_b, lengths_b, leaf_ok)))
+                codes_b, lengths_b, leaf_ok, tier=tier)))
+        else:
             if bool(np.any(fetched[-1])):
-                raise RuntimeError("probe overflow persisted in the exact "
-                                   "re-run; reduce the batch size")
+                raise RuntimeError("place capacity tiers exhausted; "
+                                   "reduce the batch size")
         has_previous = flush_place_batch(
             agg, fetched, names_b, np.asarray(lengths_b), pv, cfg, out,
             wcount, has_previous)
@@ -276,23 +404,23 @@ def flush_place_batch(agg: PlaceAggregator, fetched, names_b, lengths_b,
                       wcount: np.ndarray, has_previous: bool) -> bool:
     """Host half of one fused place batch: unpack the device tuple,
     chi-square the compacted candidate lanes, emit the report."""
-    (present, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
-     cand_idx, cand_d, cand_v, n_cand, onmers, _ov) = fetched
+    (n_pres, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
+     cand_key, cand_d, cand_v, n_cand, onmers, _ov) = fetched
     lr = LeafResults(
-        present=present, d=None, closest_slot=best_slot,
+        present=None, d=None, closest_slot=best_slot,
         closest_d=best_d, hist_closest=hist_c, uc_closest=uc_c,
         rho_closest=rho_c, v_closest=v_c, onmers=np.asarray(onmers),
         lengths=lengths_b)
-    m = min(int(n_cand), len(cand_idx))
+    m = min(int(n_cand), len(cand_key))
     Qp = agg.Q + 1
-    idx = np.asarray(cand_idx[:m], np.int64)
+    idx = np.asarray(cand_key[:m], np.int64)
     cb = idx // Qp
     cq = idx % Qp
     cd = np.asarray(cand_d[:m])
     cv = np.asarray(cand_v[:m])
     chisq_c = agg.chisq_cand_host(cb, cd, hist_c, uc_c, rho_c, v_c)
-    return _report_batch(lr, names_b, pv, cfg, out, wcount, has_previous,
-                         cb, cq, cd, cv, chisq_c)
+    return _report_batch(lr, np.asarray(n_pres), names_b, pv, cfg, out,
+                         wcount, has_previous, cb, cq, cd, cv, chisq_c)
 
 
 def _jplace_row(qflat, q: int, d: float, v: float, lwr: float) -> str:
@@ -313,9 +441,9 @@ def _jplace_rows_bulk(qflat, qs: np.ndarray, d: np.ndarray, v: np.ndarray,
             + fmt5_array(d) + "]")
 
 
-def _report_batch(lr: LeafResults, names: List[str], pv: PlacementView,
-                  cfg: PlaceConfig, out: TextIO, wcount: np.ndarray,
-                  has_previous: bool,
+def _report_batch(lr: LeafResults, n_pres: np.ndarray, names: List[str],
+                  pv: PlacementView, cfg: PlaceConfig, out: TextIO,
+                  wcount: np.ndarray, has_previous: bool,
                   cb, cq, cd, cv, chisq_c) -> bool:
     """Bulk-vectorized report pass (ref: src/query.cpp:218-333).
 
@@ -325,11 +453,10 @@ def _report_batch(lr: LeafResults, names: List[str], pv: PlacementView,
     filter, normalises LWRs and emits rows — all batch-wide, with only the
     jplace per-read nesting walking (emitted) reads."""
     qflat = pv.qflat
-    B = lr.present.shape[0]
+    B = len(n_pres)
     tau = cfg.tau
     names_a = np.asarray(names, dtype=object)
 
-    n_pres = lr.present.sum(axis=1)
     leq_tau_c = lr.hist_closest[:, : tau + 1].sum(axis=1)
     active = (n_pres > 0) & (cfg.no_filter | (leq_tau_c > 1.0))
     single = active & (n_pres == 1)

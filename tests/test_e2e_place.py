@@ -108,6 +108,43 @@ def test_place_candidates_match_oracle(world, multi):
         assert gv == wv, (b, rid)
 
 
+def test_run_place_rows_match_oracle(world, tmp_path):
+    """Driver-level parity: the fused lane aggregation path inside
+    run_place (ancestor-event expansion + candidate compaction) emits the
+    same jplace rows as the per-read oracle (ref: src/query.cpp:218-333)."""
+    import json
+
+    built, di, oi, reads, tree = world
+    cfg = PlaceConfig(multi=True)
+    qpath = tmp_path / "qp.fq"
+    with open(qpath, "w") as f:
+        for rid, seq in reads:
+            f.write(f"@{rid}\n{seq}\n+\n{'I' * len(seq)}\n")
+    out = io.StringIO()
+    run_place(di, str(qpath), out, "inv", cfg)
+    doc = json.loads(out.getvalue())
+    got_by_read = {e["n"][0]: e["p"] for e in doc["placements"]}
+    qtree_nodes = {se: tree.se_to_node[se] for se in range(1, tree.nnodes + 1)}
+    n_checked = 0
+    for rid, seq in reads:
+        want = oracle_query.place_read(oi, seq, qtree_nodes,
+                                       hdist_th=cfg.hdist_th,
+                                       chisq_value=cfg.chisq_value,
+                                       tau=cfg.tau, no_filter=cfg.no_filter,
+                                       multi=True)
+        if want is None or not want:
+            assert rid not in got_by_read or not got_by_read[rid], rid
+            continue
+        rows = got_by_read[rid]
+        got = sorted((int(r[0]), fmt5(r[4]), fmt5(r[5]), fmt5(-r[3]))
+                     for r in rows)
+        exp = sorted((q - 1, fmt5(l), fmt5(d), fmt5(v))
+                     for q, l, d, v in want)
+        assert got == exp, rid
+        n_checked += 1
+    assert n_checked >= 3
+
+
 def test_run_place_jplace_well_formed(world, tmp_path):
     import json
 
