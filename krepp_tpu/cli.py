@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 import time
 
@@ -132,15 +133,38 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _mh_context():
+    """(process_index, process_count); (0, 1) when not distributed."""
+    import jax
+
+    try:
+        return jax.process_index(), jax.process_count()
+    except Exception:  # noqa: BLE001 - backend without process support
+        return 0, 1
+
+
 def _mesh_factory(spec):
-    """--mesh DATAxSHARD -> engine factory over the local devices."""
+    """--mesh DATAxSHARD -> engine factory.
+
+    Single process: ShardedQueryEngine over the local devices. Under
+    jax.distributed (KREPP_NUM_PROCESSES/KREPP_COORDINATOR env — one
+    process per host): MultiHostQueryEngine over the GLOBAL device mesh,
+    every process running the same SPMD program (SURVEY §5.8)."""
     if not spec:
         return None
     nd, ns = (int(x) for x in spec.lower().split("x"))
 
     def factory(dindex, hdist_th):
+        import jax
+
         from .parallel.mesh import ShardedQueryEngine, make_query_mesh
 
+        if _mh_context()[1] > 1:
+            from .parallel.multihost import MultiHostQueryEngine
+
+            return MultiHostQueryEngine(
+                dindex, make_query_mesh(nd, ns, devices=jax.devices()),
+                hdist_th)
         return ShardedQueryEngine(dindex, make_query_mesh(nd, ns), hdist_th)
 
     return factory
@@ -199,6 +223,13 @@ def main(argv=None) -> int:
     print(f"krepp-tpu version: {__version__} "
           f"(reference-compatible: krepp {REFERENCE_VERSION})", file=sys.stderr)
     args = build_parser().parse_args(argv)
+    if os.environ.get("KREPP_NUM_PROCESSES") or os.environ.get(
+            "KREPP_COORDINATOR"):
+        # multi-host run: one process per host; must precede any call that
+        # initialises the XLA backend
+        from .parallel.boot import init_distributed
+
+        init_distributed()
     configure()
     inv = _invocation()
     t0 = time.time()
@@ -284,14 +315,28 @@ def cmd_index(args):
                                       seed=args.seed or 0)
 
 
+def _mh_output(args, sliceable: bool):
+    """Multi-host emission policy: with -o and a sliceable report each rank
+    writes its read-slice to PATH.rank{pid}; otherwise rank 0 emits the
+    full output and other ranks stay silent."""
+    pid, pcount = _mh_context()
+    if pcount <= 1:
+        return args.output_path, None
+    if args.output_path and sliceable:
+        return f"{args.output_path}.rank{pid}", (pid, pcount)
+    return (args.output_path if pid == 0 else os.devnull), None
+
+
 def cmd_dist(args, inv):
     from .query.dist import DistConfig, run_dist
 
     di = _load_index(args.index_dir)
+    out_path, emit_slice = _mh_output(args, sliceable=not args.summarize)
     cfg = DistConfig(hdist_th=args.hdist_th, chisq_value=args.chisq_value,
                      dist_max=args.dist_max, multi=args.multi,
-                     no_filter=not args.filter, summarize=args.summarize)
-    out = _out_stream(args.output_path)
+                     no_filter=not args.filter, summarize=args.summarize,
+                     emit_slice=emit_slice)
+    out = _out_stream(out_path)
     try:
         n = run_dist(di, args.query, out, inv, cfg,
                      engine_factory=_mesh_factory(args.mesh))
@@ -316,11 +361,12 @@ def cmd_place(args, inv):
             "Given index lacks a tree and no backbone tree is provided...")
     if args.hdist_th < args.tau:
         raise SystemExit("The threshold tau must be less than --hdist-th!")
+    out_path, emit_slice = _mh_output(args, sliceable=not args.summarize)
     cfg = PlaceConfig(hdist_th=args.hdist_th, chisq_value=args.chisq_value,
                       tau=args.tau, multi=args.multi,
                       no_filter=not args.filter, summarize=args.summarize,
-                      tabular=args.tabular)
-    out = _out_stream(args.output_path)
+                      tabular=args.tabular, emit_slice=emit_slice)
+    out = _out_stream(out_path)
     try:
         n = run_place(di, args.query, out, inv, cfg, qtree=qtree,
                       engine_factory=_mesh_factory(args.mesh))

@@ -35,6 +35,14 @@ class MultiHostQueryEngine(ShardedQueryEngine):
         return jax.make_array_from_callback(x.shape, sharding,
                                             lambda idx: x[idx])
 
+    def prep_input(self, x):
+        return np.asarray(x)
+
+    def fetch_out(self, dev_out):
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(tuple(dev_out), tiled=True)
+
     def run_leaf_stage_async(self, codes, lengths, leaf_ok=None,
                              out_mode: str = "full"):
         from ..core import codec

@@ -42,6 +42,10 @@ class DistConfig:
     # device batch granularity (output-neutral; the reference's 76.8 kbp
     # batches are too small to feed a TPU, ref: src/rqseq.hpp:10-11)
     batch_bp: int = 16384 * 150
+    # multi-host per-process output slicing: (rank, nranks) restricts row
+    # emission to this process's read slice of every batch (the compute is
+    # SPMD-identical across processes; only emission is divided)
+    emit_slice: Optional[tuple] = None
 
 
 def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
@@ -71,13 +75,23 @@ def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
                                      out_mode=out_mode)
         if need_ratio:
             lr.ratio = engine.compute_ratio_host(lr)
+        if len(lr.lengths) != len(names_b):   # drop mesh padding reads
+            lr = _slice_results(lr, 0, len(names_b))
+        if cfg.emit_slice:
+            rank, nranks = cfg.emit_slice
+            B = len(names_b)
+            lo, hi = rank * B // nranks, (rank + 1) * B // nranks
+            lr = _slice_results(lr, lo, hi)
+            names_b = names_b[lo:hi]
         _report_batch(lr, names_b, leaf_names, cfg, out, wcount)
 
     batch_bp = min(cfg.batch_bp, engine.suggested_batch_reads() * 150)
+    mult = getattr(engine, "n_data", 1)
     for names, seqs in QueryBatcher(query_path, bp_limit=batch_bp):
         total += len(names)
         codes, lengths = pad_codes_batch(
             seqs, pad_to=_bucket_len(max(len(s) for s in seqs)))
+        codes, lengths = _pad_batch(codes, lengths, mult)
         dev = engine.run_leaf_stage_async(codes, lengths, out_mode=out_mode)
         pending.append((names, lengths, codes, dev))
         if len(pending) >= 3:
@@ -90,6 +104,32 @@ def run_dist(dindex: DeviceIndex, query_path: str, out: TextIO,
             w = wcount[slot]
             out.write(f"{leaf_names[slot]}\t{fmt5(w)}\t{fmt5(w / twcount)}\n")
     return total
+
+
+def _pad_batch(codes: np.ndarray, lengths: np.ndarray, mult: int):
+    """Pad the batch (with zero-length reads) to a multiple of the mesh
+    data axis; callers slice results back to the real read count."""
+    B = codes.shape[0]
+    if mult <= 1 or B % mult == 0:
+        return codes, lengths
+    padn = mult - B % mult
+    codes = np.concatenate(
+        [codes, np.full((padn, codes.shape[1]), 4, codes.dtype)])
+    lengths = np.concatenate([lengths, np.zeros(padn, lengths.dtype)])
+    return codes, lengths
+
+
+def _slice_results(lr, lo: int, hi: int):
+    """Slice every per-read (leading batch axis) field of a LeafResults."""
+    import dataclasses
+
+    B = len(lr.lengths)
+    repl = {}
+    for f in dataclasses.fields(lr):
+        v = getattr(lr, f.name)
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == B:
+            repl[f.name] = v[lo:hi]
+    return dataclasses.replace(lr, **repl)
 
 
 def _report_batch(lr, names: List[str], leaf_names: List[str],

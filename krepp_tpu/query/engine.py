@@ -795,6 +795,15 @@ class QueryEngine:
                 self._full_impl, exact=exact, out_mode=out_mode, tier=tier))
         return self._full_jits[key]
 
+    def prep_input(self, x):
+        """Host array -> jit input (multi-host engines pass plain numpy so
+        uncommitted inputs replicate over the global mesh)."""
+        return jnp.asarray(x)
+
+    def fetch_out(self, dev_out):
+        """Device output tuple -> host numpy (multi-host: allgather)."""
+        return jax.device_get(tuple(dev_out))
+
     def run_tier(self, codes, lengths, leaf_ok, tier: int,
                  out_mode: str = "full"):
         """Event-probe re-run at a larger capacity tier (overflow path)."""

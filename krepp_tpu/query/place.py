@@ -23,7 +23,7 @@ from ..io.fastx import QueryBatcher
 from ..reports import (begin_jplace, end_jplace, fmt5, fmt5_array,
                        jplace_fields, jukes_cantor, place_header)
 from .engine import QueryEngine, LeafResults, D_MAX
-from .dist import _bucket_len
+from .dist import _bucket_len, _pad_batch
 
 
 @dataclass
@@ -36,6 +36,8 @@ class PlaceConfig:
     summarize: bool = False
     tabular: bool = False
     batch_bp: int = 16384 * 150
+    # multi-host per-process output slicing: (rank, nranks); see DistConfig
+    emit_slice: Optional[tuple] = None
 
 
 class PlaceAggregator:
@@ -304,9 +306,9 @@ class PlaceAggregator:
         packed, vbits = _codec.pack_codes_host(np.asarray(codes),
                                                np.asarray(lengths))
         return self._place_jits[tier](
-            eng._tables, jnp.asarray(packed),
-            None if vbits is None else jnp.asarray(vbits),
-            jnp.asarray(lengths), jnp.asarray(leaf_ok))
+            eng._tables, eng.prep_input(packed),
+            None if vbits is None else eng.prep_input(vbits),
+            eng.prep_input(lengths), eng.prep_input(leaf_ok))
 
     def run_place_exact(self, codes, lengths, leaf_ok, tier: int = 1):
         return self.run_place_async(codes, lengths, leaf_ok, tier=tier)
@@ -360,14 +362,14 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
     def flush_one():
         nonlocal has_previous
         names_b, lengths_b, codes_b, dev = pending.popleft()
-        fetched = jax.device_get(tuple(dev))
+        fetched = engine.fetch_out(dev)
         for tier in (1, 2):
             if not bool(np.any(fetched[-1])):
                 break
             # heavy-tail / lane / candidate capacity overflow: escalate the
             # capacity tier (16x per tier) with the exact full-depth probe
-            fetched = jax.device_get(tuple(agg.run_place_exact(
-                codes_b, lengths_b, leaf_ok, tier=tier)))
+            fetched = engine.fetch_out(agg.run_place_exact(
+                codes_b, lengths_b, leaf_ok, tier=tier))
         else:
             if bool(np.any(fetched[-1])):
                 raise RuntimeError("place capacity tiers exhausted; "
@@ -378,10 +380,12 @@ def run_place(dindex: DeviceIndex, query_path: str, out: TextIO,
 
     batch_bp = min(cfg.batch_bp,
                    engine.suggested_batch_reads(place=True) * 150)
+    mult = getattr(engine, "n_data", 1)
     for names, seqs in QueryBatcher(query_path, bp_limit=batch_bp):
         total += len(names)
         codes, lengths = pad_codes_batch(
             seqs, pad_to=_bucket_len(max(len(s) for s in seqs)))
+        codes, lengths = _pad_batch(codes, lengths, mult)
         dev = agg.run_place_async(codes, lengths, leaf_ok)
         pending.append((names, lengths, codes, dev))
         if len(pending) >= 3:
@@ -406,11 +410,6 @@ def flush_place_batch(agg: PlaceAggregator, fetched, names_b, lengths_b,
     chi-square the compacted candidate lanes, emit the report."""
     (n_pres, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
      cand_key, cand_d, cand_v, n_cand, onmers, _ov) = fetched
-    lr = LeafResults(
-        present=None, d=None, closest_slot=best_slot,
-        closest_d=best_d, hist_closest=hist_c, uc_closest=uc_c,
-        rho_closest=rho_c, v_closest=v_c, onmers=np.asarray(onmers),
-        lengths=lengths_b)
     m = min(int(n_cand), len(cand_key))
     Qp = agg.Q + 1
     idx = np.asarray(cand_key[:m], np.int64)
@@ -419,7 +418,36 @@ def flush_place_batch(agg: PlaceAggregator, fetched, names_b, lengths_b,
     cd = np.asarray(cand_d[:m])
     cv = np.asarray(cand_v[:m])
     chisq_c = agg.chisq_cand_host(cb, cd, hist_c, uc_c, rho_c, v_c)
-    return _report_batch(lr, np.asarray(n_pres), names_b, pv, cfg, out,
+    n_pres = np.asarray(n_pres)
+    Breal = len(names_b)
+    if len(n_pres) != Breal:                  # drop mesh padding reads
+        keep = cb < Breal
+        cb, cq, cd, cv, chisq_c = (cb[keep], cq[keep], cd[keep], cv[keep],
+                                   chisq_c[keep])
+        n_pres = n_pres[:Breal]
+        best_slot, best_d = best_slot[:Breal], best_d[:Breal]
+        hist_c, uc_c, rho_c, v_c = (hist_c[:Breal], uc_c[:Breal],
+                                    rho_c[:Breal], v_c[:Breal])
+        onmers, lengths_b = np.asarray(onmers)[:Breal], lengths_b[:Breal]
+    if cfg.emit_slice:
+        rank, nranks = cfg.emit_slice
+        B = len(n_pres)
+        lo, hi = rank * B // nranks, (rank + 1) * B // nranks
+        keep = (cb >= lo) & (cb < hi)
+        cb, cq, cd, cv, chisq_c = (cb[keep] - lo, cq[keep], cd[keep],
+                                   cv[keep], chisq_c[keep])
+        n_pres = n_pres[lo:hi]
+        best_slot, best_d = best_slot[lo:hi], best_d[lo:hi]
+        hist_c, uc_c, rho_c, v_c = (hist_c[lo:hi], uc_c[lo:hi],
+                                    rho_c[lo:hi], v_c[lo:hi])
+        onmers, lengths_b = np.asarray(onmers)[lo:hi], lengths_b[lo:hi]
+        names_b = names_b[lo:hi]
+    lr = LeafResults(
+        present=None, d=None, closest_slot=best_slot,
+        closest_d=best_d, hist_closest=hist_c, uc_closest=uc_c,
+        rho_closest=rho_c, v_closest=v_c, onmers=np.asarray(onmers),
+        lengths=lengths_b)
+    return _report_batch(lr, n_pres, names_b, pv, cfg, out,
                          wcount, has_previous, cb, cq, cd, cv, chisq_c)
 
 
