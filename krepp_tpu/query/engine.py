@@ -729,7 +729,7 @@ class QueryEngine:
 
     def _full_impl(self, tables, packed, vbits, lengths, leaf_ok,
                    exact: bool = False, out_mode: str = "full",
-                   tier: int = 0):
+                   tier: int = 0, lane_exact: bool = False):
         """Fused probe + stage 2 (single dispatch) over 2-bit-packed reads.
 
         out_mode selects the OUTPUT SET, which defines what the program
@@ -743,18 +743,26 @@ class QueryEngine:
         L = packed.shape[1] * 16
         codes = codec.unpack_codes(packed, lengths, L, vbits)
         probe_out = self._probe_dispatch(tables, codes, lengths, exact, tier)
-        onmers, overflow = probe_out[4], probe_out[5]
+        onmers = probe_out[4]
+        # overflow is a bit-flag word: bit 0 = probe capacity (heavy tail /
+        # event caps), bit 1 = stage-2 lane cap — the two escalate
+        # independently in fetch_prefetched
+        probe_ov = jnp.max(probe_out[5].astype(jnp.int32))
         B = codes.shape[0]
         S = self.S
-        lane_cap = None if exact else min(
-            B * S, max(8 * B, 4096) << (2 * tier))
+        # _lane_cap_override: test hook forcing lane-cap truncation (real
+        # worlds rarely exceed the 4096-lane floor)
+        base_cap = getattr(self, "_lane_cap_override", None) or \
+            max(8 * B, 4096)
+        lane_cap = None if (exact or lane_exact) else min(
+            B * S, base_cap << (2 * tier))
         if out_mode in ("dist", "dist_ratio"):
             from ..core.compact import compact_mask_indices
 
             lanes = self._stage2_lanes(
                 *probe_out[:5], leaf_ok, B * S if lane_cap is None
                 else lane_cap)
-            overflow = overflow | lanes["lane_over"]
+            overflow = probe_ov | lanes["lane_over"].astype(jnp.int32) * 2
             present = jnp.zeros((B * S,), bool).at[lanes["idx"]].set(
                 lanes["present_l"], mode="drop").reshape(B, S)
             bits = codec.pack_bits_device(present)
@@ -775,7 +783,8 @@ class QueryEngine:
             return base + (fetch_over, overflow)
         out, lane_over = self._stage2_impl(*probe_out[:5], leaf_ok,
                                            lane_cap=lane_cap)
-        return tuple(out) + (onmers, overflow | lane_over)
+        return tuple(out) + (onmers,
+                             probe_ov | lane_over.astype(jnp.int32) * 2)
 
     # -------------------------------------------------------------- public
     def suggested_batch_reads(self, place: bool = False) -> int:
@@ -788,11 +797,12 @@ class QueryEngine:
         return max(256, (1 << 30) // per_read)
 
     def _get_full_jit(self, out_mode: str, exact: bool = False,
-                      tier: int = 0):
-        key = (out_mode, exact, tier)
+                      tier: int = 0, lane_exact: bool = False):
+        key = (out_mode, exact, tier, lane_exact)
         if key not in self._full_jits:
             self._full_jits[key] = jax.jit(functools.partial(
-                self._full_impl, exact=exact, out_mode=out_mode, tier=tier))
+                self._full_impl, exact=exact, out_mode=out_mode, tier=tier,
+                lane_exact=lane_exact))
         return self._full_jits[key]
 
     def prep_input(self, x):
@@ -805,13 +815,17 @@ class QueryEngine:
         return jax.device_get(tuple(dev_out))
 
     def run_tier(self, codes, lengths, leaf_ok, tier: int,
-                 out_mode: str = "full"):
-        """Event-probe re-run at a larger capacity tier (overflow path)."""
+                 out_mode: str = "full", lane_exact: bool = False):
+        """Event-probe re-run at a larger capacity tier (overflow path).
+
+        lane_exact=True removes the stage-2 lane cap entirely (the lane
+        fallback when probe tiers fit but match lanes keep overflowing)."""
         if leaf_ok is None:
             leaf_ok = np.ones(self.S, bool)
         packed, vbits = codec.pack_codes_host(np.asarray(codes),
                                               np.asarray(lengths))
-        return self._get_full_jit(out_mode, tier=tier)(
+        return self._get_full_jit(out_mode, tier=tier,
+                                  lane_exact=lane_exact)(
             self._tables, jnp.asarray(packed),
             None if vbits is None else jnp.asarray(vbits),
             jnp.asarray(lengths), jnp.asarray(leaf_ok))
@@ -855,26 +869,40 @@ class QueryEngine:
                          leaf_ok: Optional[np.ndarray] = None,
                          out_mode: str = "full") -> "LeafResults":
         """Build LeafResults from an already-device_get'ed output tuple."""
-        probe_over = bool(np.any(np.asarray(fetched[-1])))
+        ov_flags = int(np.max(np.asarray(fetched[-1])))
+        over = ov_flags != 0
         fetch_over = (out_mode in ("dist", "dist_ratio")
                       and bool(np.asarray(fetched[-2])))
-        if probe_over or fetch_over:
-            # heavy-tail probe overflow -> exact full-depth rescan (event
-            # mode: capacity-tier escalation); compact-fetch overflow (reads
-            # matching > K/B references) -> full fetch
+        if over or fetch_over:
+            # bit 0: probe capacity (heavy tail / event caps) -> exact
+            # full-depth rescan (event mode: capacity-tier escalation);
+            # bit 1: stage-2 lane cap -> larger tiers, then uncapped lanes;
+            # compact-fetch overflow (reads matching > K/B refs) -> full
             assert codes is not None, "overflow fallback needs the batch codes"
-            if probe_over and self.mode == "event":
+            if over and self.mode == "event":
                 for tier in (1, 2, 3):
                     fetched = jax.device_get(tuple(self.run_tier(
                         codes, lengths, leaf_ok, tier)))
-                    if not bool(np.asarray(fetched[-1])):
+                    ov_flags = int(np.max(np.asarray(fetched[-1])))
+                    if ov_flags == 0:
                         break
                 else:
-                    raise RuntimeError(
-                        "event-probe capacity tiers exhausted; the batch is "
-                        "pathologically match-dense — reduce the batch size")
+                    if ov_flags & 1:
+                        raise RuntimeError(
+                            "event-probe capacity tiers exhausted; the batch "
+                            "is pathologically match-dense — reduce the "
+                            "batch size")
+                    # probe caps fit, only match lanes overflow: the dense
+                    # stage 2 (lane_cap=None) is always exact
+                    fetched = jax.device_get(tuple(self.run_tier(
+                        codes, lengths, leaf_ok, 3, lane_exact=True)))
+                    if int(np.max(np.asarray(fetched[-1]))) & 1:
+                        raise RuntimeError(
+                            "event-probe capacity tiers exhausted; the batch "
+                            "is pathologically match-dense — reduce the "
+                            "batch size")
             else:
-                run = self.run_exact if probe_over else (
+                run = self.run_exact if over else (
                     lambda c, l, ok, out_mode: self.run_leaf_stage_async(
                         c, l, ok, out_mode=out_mode))
                 fetched = jax.device_get(tuple(run(

@@ -79,10 +79,13 @@ def s2_nobrent(tables, packed, vbits, lengths, leaf_ok):
     return engine._stage2_impl(*po[:5], leaf_ok)
 
 
-eng_mod.brent_on_mask = fake_brent
+# _stage2_lanes calls brent_find_minima (not brent_on_mask): patch that
+real_bfm = eng_mod.brent_find_minima
+eng_mod.brent_find_minima = lambda f, shape, **kw: (
+    jnp.zeros(shape, F), jnp.zeros(shape, F))
 timeit("probe+stage2 NO brent", lambda: s2_nobrent(
     tables, packed, vbits, lengths_d, leaf_ok_d))
-eng_mod.brent_on_mask = real_brent
+eng_mod.brent_find_minima = real_bfm
 
 # how many lanes actually carry matches?
 @jax.jit
