@@ -105,20 +105,24 @@ def pack_codes_host(codes: np.ndarray, lengths: np.ndarray):
 
 def unpack_codes(packed: jax.Array, lengths: jax.Array, L: int,
                  vbits: jax.Array | None = None) -> jax.Array:
-    """Device-side inverse of pack_codes_host -> [B, L] uint8 codes.
+    """Device-side inverse of pack_codes_host -> [B, L] int32 codes.
 
-    Positions >= lengths (or with vbits == 0) decode to 4 (invalid)."""
+    Positions >= lengths (or with vbits == 0) decode to 4 (invalid).
+    int32 output: 8-bit arrays use (32, 128) tiling on TPU, so the u8
+    round-trip costs relayouts in every consumer; codes are tiny anyway."""
     B, W = packed.shape
-    shifts = jnp.asarray((2 * np.arange(16)).astype(np.uint32))
-    ex = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint32(3)
-    ex = ex.reshape(B, W * 16)[:, :L].astype(jnp.uint8)
+    p32 = jax.lax.bitcast_convert_type(packed, jnp.int32)
+    shifts = jnp.asarray((2 * np.arange(16)).astype(np.int32))
+    ex = (p32[:, :, None] >> shifts[None, None, :]) & jnp.int32(3)
+    ex = ex.reshape(B, W * 16)[:, :L]
     pos = jnp.arange(L, dtype=jnp.int32)
     ok = pos[None, :] < lengths[:, None]
     if vbits is not None:
-        vshifts = jnp.asarray(np.arange(32).astype(np.uint32))
-        vb = (vbits[:, :, None] >> vshifts[None, None, :]) & jnp.uint32(1)
+        v32 = jax.lax.bitcast_convert_type(vbits, jnp.int32)
+        vshifts = jnp.asarray(np.arange(32).astype(np.int32))
+        vb = (v32[:, :, None] >> vshifts[None, None, :]) & jnp.int32(1)
         ok = ok & (vb.reshape(B, -1)[:, :L] == 1)
-    return jnp.where(ok, ex, jnp.uint8(4))
+    return jnp.where(ok, ex, jnp.int32(4))
 
 
 def pack_bits_device(flags: jax.Array) -> jax.Array:
@@ -249,22 +253,27 @@ def strand_hashes_conv(codes: jax.Array, lsh: LSHParams):
     c3 = (codes >= 4).astype(jnp.float32)
     x = jnp.stack([c, c1, c2, c3], axis=-2)          # [..., 4, L]
 
-    # output channel table: (in_channel, {offset: weight}) per 16-bit chunk
+    # output channel table: (in_channel, {offset: weight}) per 8-bit chunk.
+    # 8-bit chunks keep every weight <= 255 — exactly representable in
+    # bfloat16 — so ONE default-precision bf16 MXU pass is exact: inputs
+    # (codes <= 4) and weights are exact bf16 values, products (<= 1020)
+    # accumulate exactly in the f32 accumulator, and window sums stay far
+    # below 2^24. (16-bit chunks needed Precision.HIGHEST = 6 passes.)
     specs = []
 
     def add_chunked(cin, terms):
         """terms: list of (offset, weight). Returns list of channel ids with
         their chunk shifts."""
         out = []
-        for chunk in range(2):
+        for chunk in range(4):
             wmap = {}
             for off, wgt in terms:
-                part = (wgt >> (16 * chunk)) & 0xFFFF
+                part = (wgt >> (8 * chunk)) & 0xFF
                 if part:
                     wmap[off] = wmap.get(off, 0) + part
             if wmap:
                 specs.append((cin, wmap))
-                out.append((len(specs) - 1, 16 * chunk))
+                out.append((len(specs) - 1, 8 * chunk))
         if not out:
             specs.append((cin, {0: 0}))
             out.append((len(specs) - 1, 0))
@@ -288,11 +297,11 @@ def strand_hashes_conv(codes: jax.Array, lsh: LSHParams):
             W[o, cin, off] = wgt
 
     lead = x.shape[:-2]
-    xin = x.reshape((-1,) + x.shape[-2:])
+    xin = x.reshape((-1,) + x.shape[-2:]).astype(jnp.bfloat16)
     out = jax.lax.conv_general_dilated(
-        xin, jnp.asarray(W), window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST)
+        xin, jnp.asarray(W).astype(jnp.bfloat16), window_strides=(1,),
+        padding="VALID", dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)
     out = out.reshape(lead + out.shape[-2:])          # [..., OutC, P]
 
     def chunks_to_i32(chs):

@@ -25,7 +25,8 @@ from ..tree.newick import Tree
 from ..tree.flat import FlatTree
 from .build import BuiltIndex, BuiltSketch
 from .colors import ColorTable, colors_from_pse
-from .index import DeviceIndex, DeviceSketch, _local_rows_to_global
+from .index import (DeviceIndex, DeviceSketch, _local_row_to_global,
+                    _local_rows_to_global)
 
 FORMAT_VERSION = 1
 
@@ -59,11 +60,13 @@ def save_native(built: BuiltIndex, index_dir: str, seed: int = 0,
         json.dump(meta, f, indent=1)
     # uncompressed: zlib costs ~20s single-threaded on a big index while
     # the arrays are nearly incompressible hashes; np.load reads both
+    row_arrays = ({"inc": built.inc} if built.inc is not None
+                  else {"rows_local": built.rows_local})
     np.savez(
         os.path.join(index_dir, f"arrays{sfx}.npz"),
-        enc_v=built.enc_v, se_v=built.se_v, inc=built.inc,
+        enc_v=built.enc_v, se_v=built.se_v,
         leaf_off=built.colors.leaf_off, leaf_list=built.colors.leaf_list,
-        rho=built.colors.rho)
+        rho=built.colors.rho, **row_arrays)
     if built.tree is not None:
         with open(os.path.join(index_dir, "tree.nwk"), "w") as f:
             f.write(built.tree.nwk_str or built.tree.newick())
@@ -101,7 +104,10 @@ def load_native(index_dir: str) -> BuiltIndex:
     tree = _native_tree(index_dir, meta)
     ftree = FlatTree.from_tree(tree)
     return BuiltIndex(params=params, tree=tree, names=meta["names"],
-                      enc_v=z["enc_v"], se_v=z["se_v"], inc=z["inc"],
+                      enc_v=z["enc_v"], se_v=z["se_v"],
+                      inc=z["inc"] if "inc" in z else None,
+                      rows_local=(z["rows_local"] if "rows_local" in z
+                                  else None),
                       colors=colors, ftree=ftree)
 
 
@@ -136,7 +142,11 @@ def load_native_device(index_dir: str) -> DeviceIndex:
         wbackbone = wbackbone or bool(meta.get("wbackbone"))
         if tree is None:
             tree = _native_tree(index_dir, meta)
-        g_rows = _local_rows_to_global(z["inc"].astype(np.int64), params)
+        if "inc" in z:
+            g_rows = _local_rows_to_global(z["inc"].astype(np.int64), params)
+        else:
+            g_rows = _local_row_to_global(z["rows_local"].astype(np.int64),
+                                          params)
         partials.append((params, g_rows, z["enc_v"],
                          z["se_v"].astype(np.int64), colors))
         for r in _partial_residues(params):
@@ -206,63 +216,68 @@ def _decompose_colors(built: BuiltIndex) -> np.ndarray:
     ftree = built.ftree
     colors = built.colors
     nnodes = colors.nnodes
-    clade_to_se: Dict[Tuple[int, ...], int] = {}
+    parent = ftree.parent
+    children = ftree.children_lists()
+
+    # leafsets as Python int bitmasks (bit = leaf se): set algebra becomes
+    # O(nnodes/64) bignum word ops, so the export scales to large indexes
+    def to_mask(leaves) -> int:
+        m = 0
+        for l in leaves:
+            m |= 1 << int(l)
+        return m
+
+    clade_mask: List[int] = [0] * (nnodes + 1)
     for se in range(1, nnodes + 1):
-        clade_to_se[ftree.clade_leafset(se)] = se
-    set_to_id: Dict[Tuple[int, ...], int] = dict(clade_to_se)
+        clade_mask[se] = to_mask(ftree.clade_leafset(se))
+    set_to_id: Dict[int, int] = {clade_mask[se]: se
+                                 for se in range(1, nnodes + 1)}
+    comp_masks: Dict[int, int] = {}
     for se in range(nnodes + 1, colors.nse):
-        set_to_id[tuple(colors.leaves_of(se).tolist())] = se
+        m = to_mask(colors.leaves_of(se))
+        set_to_id[m] = se
+        comp_masks[se] = m
 
     pse: List[Tuple[int, int]] = [(0, 0)] * colors.nse
     filled = [True] * (nnodes + 1) + [False] * (colors.nse - nnodes - 1)
-    parent = ftree.parent
-    children = ftree.children_lists()
-    clade_cache: Dict[int, frozenset] = {}
 
-    def clade(x: int) -> frozenset:
-        if x not in clade_cache:
-            clade_cache[x] = frozenset(ftree.clade_leafset(x))
-        return clade_cache[x]
-
-    def lca_of(leafset: Tuple[int, ...]) -> int:
-        lset = set(leafset)
-        x = leafset[0]
+    def lca_of(mask: int) -> int:
+        x = (mask & -mask).bit_length() - 1     # lowest set leaf
         while x:
-            if lset <= clade(x):
+            if mask & ~clade_mask[x] == 0:
                 return x
             x = int(parent[x])
         raise ValueError("leafset not under the tree root")
 
-    def get_id(leafset: Tuple[int, ...]) -> int:
-        if len(leafset) == 1:
-            return leafset[0]
-        sid = set_to_id.get(leafset)
+    def get_id(mask: int) -> int:
+        if mask & (mask - 1) == 0:              # singleton -> leaf id
+            return mask.bit_length() - 1
+        sid = set_to_id.get(mask)
         if sid is None:
             sid = len(pse)
-            set_to_id[leafset] = sid
+            set_to_id[mask] = sid
             pse.append((0, 0))
             filled.append(True)
-            fill(sid, leafset)
+            fill(sid, mask)
         elif not filled[sid]:
             filled[sid] = True
-            fill(sid, leafset)
+            fill(sid, mask)
         return sid
 
-    def fill(sid: int, leafset: Tuple[int, ...]) -> None:
-        node = lca_of(leafset)
-        lset = set(leafset)
-        groups = [tuple(sorted(lset & clade(ch))) for ch in children[node]]
+    def fill(sid: int, mask: int) -> None:
+        node = lca_of(mask)
+        groups = [mask & clade_mask[ch] for ch in children[node]]
         groups = [g for g in groups if g]
-        assert len(groups) >= 2, (sid, leafset, node)
+        assert len(groups) >= 2, (sid, node)
         acc_id = get_id(groups[0])
-        acc_set = groups[0]
+        acc_mask = groups[0]
         for g in groups[1:-1]:
             nid = get_id(g)
-            acc_set = tuple(sorted(set(acc_set) | set(g)))
-            prev = set_to_id.get(acc_set)
+            acc_mask |= g
+            prev = set_to_id.get(acc_mask)
             if prev is None:
                 prev = len(pse)
-                set_to_id[acc_set] = prev
+                set_to_id[acc_mask] = prev
                 pse.append((acc_id, nid))
                 filled.append(True)
             acc_id = prev
@@ -271,7 +286,7 @@ def _decompose_colors(built: BuiltIndex) -> np.ndarray:
     for se in range(nnodes + 1, colors.nse):
         if not filled[se]:
             filled[se] = True
-            fill(se, tuple(colors.leaves_of(se).tolist()))
+            fill(se, comp_masks[se])
     return np.array(pse, dtype=np.uint32)
 
 
@@ -288,8 +303,9 @@ def save_index_reference(built: BuiltIndex, index_dir: str, seed: int = 0,
         pairs[:, 1] = built.se_v.astype(np.uint32)
         pairs.tofile(f)
     with open(os.path.join(index_dir, "inc" + sfx), "wb") as f:
-        f.write(struct.pack("<I", len(built.inc)))
-        built.inc.astype("<u8").tofile(f)
+        inc = built.dense_inc()
+        f.write(struct.pack("<I", len(inc)))
+        inc.astype("<u8").tofile(f)
     pse = _decompose_colors(built)
     nnodes_f = built.ftree.nnodes + 1
     with open(os.path.join(index_dir, "crecord" + sfx), "wb") as f:

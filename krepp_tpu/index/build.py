@@ -25,13 +25,21 @@ from ..tree.flat import FlatTree
 from .colors import ColorBuilder, ColorTable
 
 
+# above this local-row-space size the dense cumulative-offset array is not
+# materialised at build (h=15 spaces reach 2^30 rows = gigabytes of inc for
+# kilobytes of entries); per-entry rows are kept instead
+SPARSE_INC_THRESHOLD = 1 << 24
+
+
 @dataclass
 class BuiltIndex:
     """A frozen single-partial index (the build output).
 
     enc_v/se_v: concatenated buckets (CSR by local row; within-bucket sorted
     by encoding as in FlatHT, ref: src/table.cpp:43-63).
-    inc: int64 [nrows_local] cumulative end offsets (ref: src/table.hpp:121-136).
+    inc: int64 [nrows_local] cumulative end offsets
+    (ref: src/table.hpp:121-136), or None for huge row spaces, where
+    rows_local carries the per-entry local row instead.
     """
 
     params: IndexParams
@@ -39,13 +47,23 @@ class BuiltIndex:
     names: List[str]
     enc_v: np.ndarray
     se_v: np.ndarray
-    inc: np.ndarray
+    inc: Optional[np.ndarray]
     colors: ColorTable
     ftree: FlatTree
+    rows_local: Optional[np.ndarray] = None
 
     @property
     def nkmers(self) -> int:
         return len(self.enc_v)
+
+    def dense_inc(self) -> np.ndarray:
+        """The dense offset array (materialised on demand for the
+        reference's binary format, which stores one u64 per row)."""
+        if self.inc is not None:
+            return self.inc
+        counts = np.bincount(self.rows_local,
+                             minlength=self.params.nrows_local)
+        return np.cumsum(counts).astype(np.int64)
 
 
 @dataclass
@@ -214,9 +232,11 @@ def build_index_from_extracted(names: List[str], extracted,
     if len(rows) == 0:
         raise ValueError("No k-mers to index!")
 
-    enc_v, se_v, inc, colors = _merge_and_color(rows, res, leaf, params, ftree, rho)
+    enc_v, se_v, inc, rows_local, colors = _merge_and_color(
+        rows, res, leaf, params, ftree, rho)
     return BuiltIndex(params=params, tree=tree, names=names, enc_v=enc_v,
-                      se_v=se_v, inc=inc, colors=colors, ftree=ftree)
+                      se_v=se_v, inc=inc, colors=colors, ftree=ftree,
+                      rows_local=rows_local)
 
 
 def _mask_leafset(mask: np.ndarray, W: int) -> tuple:
@@ -302,10 +322,14 @@ def _merge_and_color(rows: np.ndarray, res: np.ndarray, leaf: np.ndarray,
     g_rows = (uniq >> np.uint64(32)).astype(np.int64)
     enc_v = (uniq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     nrows = params.nrows_local
+    colors = builder.finalize(rho)
+    if nrows > SPARSE_INC_THRESHOLD:
+        # huge row spaces (h >= 13 at m <= 2): keep per-entry rows; the
+        # dense offsets would be gigabytes of mostly-empty table
+        return enc_v, se_v, None, g_rows, colors
     counts = np.bincount(g_rows, minlength=nrows)
     inc = np.cumsum(counts).astype(np.int64)
-    colors = builder.finalize(rho)
-    return enc_v, se_v, inc, colors
+    return enc_v, se_v, inc, None, colors
 
 
 def build_sketch(path: str, params: IndexParams, progress: bool = True) -> BuiltSketch:

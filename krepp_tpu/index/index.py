@@ -142,7 +142,10 @@ class DeviceIndex:
         p = built.params
         lsh = p.lsh
         residues = list(range(p.r + 1)) if p.frac else [p.r]
-        g_rows = _local_rows_to_global(built.inc, p)
+        if built.inc is None:
+            g_rows = _local_row_to_global(built.rows_local, p)
+        else:
+            g_rows = _local_rows_to_global(built.inc, p)
         return DeviceIndex.from_parts(
             lsh, residues, (g_rows, built.enc_v, built.se_v), built.colors,
             built.tree, built.names, wbackbone=built.tree is not None)
@@ -209,6 +212,15 @@ def _local_rows_to_global(inc: np.ndarray, p: IndexParams) -> np.ndarray:
         q, res = np.divmod(local, np.int32(p.r + 1))
         return q * np.int32(p.m) + res
     return local * np.int32(p.m) + np.int32(p.r)
+
+
+def _local_row_to_global(local: np.ndarray, p: IndexParams) -> np.ndarray:
+    """Per-entry local row -> global LSH row (the sparse-inc build path)."""
+    local = local.astype(np.int64)
+    if p.frac:
+        q, res = np.divmod(local, p.r + 1)
+        return q * p.lsh.m + res
+    return local * p.lsh.m + p.r
 
 
 @dataclass

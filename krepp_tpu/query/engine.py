@@ -59,13 +59,15 @@ def _csr_bucket_slices(row_start, row_ids, urow, resident):
     return start, cnt
 
 
-# Dense slots materialized per bucket row in hybrid mode. Random-row gather
-# cost on TPU is dominated by per-row latency but still grows with width, so
-# the dense row holds only the first DENSE_SLOTS entries (+ a count word);
-# deeper buckets are rescanned through the CSR by the compacted heavy tail.
-DENSE_SLOTS = 2
+# Dense slots materialized per bucket row in hybrid mode. The bucket-row
+# gather runs near HBM streaming rate (row width is cheap), while every
+# probe spilling past the dense slots pays the compacted CSR heavy tail —
+# measured the single largest probe cost at DENSE_SLOTS=2 — so the dense
+# row holds the first 4 entries (+ a count word); at winnowed-index bucket
+# statistics (Poisson lambda ~0.5) under 0.1% of probes then spill.
+DENSE_SLOTS = 4
 # Fraction cap for the heavy tail: K = max(1024, nprobes // HEAVY_DIV).
-HEAVY_DIV = 16
+HEAVY_DIV = 32
 # HBM budget for the dense bucket-row table.
 DIRECT_MEM_CAP = 2 << 30
 # Embed the leaf bitmask next to each residual only while it is this narrow
@@ -299,13 +301,35 @@ class QueryEngine:
         res2 = jnp.stack([res_or, res_rc])
         return rix2, res2, valid, onmers
 
-    def _dense_epilogue(self, ent4, res2, light, B, P):
+    def _packed_epilogue_ok(self, P: int) -> bool:
+        """Gate for the packed-counter Pallas epilogue: embed rows, one
+        mask word, <= 2 dense slots, <= 6 distance classes, and per-read
+        position counts that fit the 8-bit packed counters."""
+        return (self._use_pallas and getattr(self, "hflavor", None) == "embed"
+                and self.W == 1 and self.C0 <= 2 and self.th + 1 <= 6
+                and P <= 255 and self.S <= 32)
+
+    def _dense_epilogue(self, d, mask_tab, res2, light, B, P):
         """First-C0-slot probe epilogue -> (hist [2B,S,X], minall [2B]).
 
-        Pallas kernel on TPU; identical XLA formulation elsewhere."""
+        d: gathered bucket rows [2, B, P, width]. Pallas kernels on TPU
+        (packed-counter fast path when _packed_epilogue_ok, else the tiled
+        bitplane kernel); identical XLA formulation elsewhere."""
         th, W, S, C0 = self.th, self.W, self.S, self.C0
         X = th + 1
         N = 2 * B
+        if self._packed_epilogue_ok(P):
+            from .pallas_kernels import probe_hist_packed
+
+            dr = d.reshape(N, P, d.shape[-1])
+            ents = []
+            for j in range(C0):
+                ents.append(dr[..., 1 + 2 * j])      # enc_j
+                ents.append(dr[..., 2 + 2 * j])      # mask_j
+            return probe_hist_packed(
+                res2.reshape(N, P), light.reshape(N, P), tuple(ents),
+                th, C0, S, interpret=self._pallas_interpret)
+        ent4 = self._hybrid_ent4(d, mask_tab, N, P)
         if self._use_pallas:
             from .pallas_kernels import probe_hist_tiles
 
@@ -382,8 +406,7 @@ class QueryEngine:
         cnt = jnp.where(resident, d[..., 0].astype(jnp.int32), 0)
         heavy = cnt > C0
         light = resident & jnp.logical_not(heavy)
-        ent4 = self._hybrid_ent4(d, mask_tab, N, P)
-        hist, minall = self._dense_epilogue(ent4, res2, light, B, P)
+        hist, minall = self._dense_epilogue(d, mask_tab, res2, light, B, P)
 
         overflow = jnp.bool_(False)
         if max_bucket > C0:

@@ -207,6 +207,111 @@ def probe_hist_tiles(enc_g: jax.Array, msk_g: jax.Array, res: jax.Array,
     return hist[:N], minall[:N, 0]
 
 
+def _packed_kernel(res_ref, light_ref, *refs, th: int, C0: int, S: int):
+    """Packed-counter probe epilogue for one [TB, P] tile of strand-reads.
+
+    Layout: rows = strand-reads (sublanes), lanes = read positions. Every
+    input field is one [TB, P] i32 plane straight off the bucket-row gather
+    (no transposes): ent_refs = (enc_0, mask_0, enc_1, mask_1, ...).
+
+    The per-(position, leaf) minimum Hamming distance (the reference's
+    Minfo::update_match dedupe, src/query.hpp:153-176) is computed with the
+    leaf loop STATICALLY UNROLLED — bit s of the mask word is a
+    compile-time shift — and the per-read histogram accumulates as
+    base-256 packed counters: classes 0-2 in word 0 at bits 0/8/16,
+    classes 3-5 in word 1, so the whole [S, X] histogram costs 2S lane
+    reductions instead of S*X bit-expansion planes. Valid only while
+    counts fit 8 bits (P <= 255) and X <= 6; the engine gates on that.
+    """
+    ent_refs = refs[: 2 * C0]               # inputs precede outputs
+    hd_min_ref, out_ref = refs[2 * C0:]
+    X = th + 1
+    res = res_ref[:]
+    light = light_ref[:] != 0
+    # per-candidate gated Hamming distance: X marks "no match"
+    hdg = []
+    for c in range(C0):
+        enc = ent_refs[2 * c][:]
+        z = jnp.bitwise_xor(enc, res)
+        folded = jnp.bitwise_and(jnp.bitwise_or(z, z >> 16),
+                                 jnp.int32(0xFFFF))
+        hd = jax.lax.population_count(folded)
+        hdg.append(jnp.where((hd <= th) & light, hd, jnp.int32(X)))
+
+    TB = res.shape[0]
+    gm = jnp.full(res.shape, X, jnp.int32)
+    for s in range(S):
+        mh = None
+        for c in range(C0):
+            bit = (ent_refs[2 * c + 1][:] >> s) & jnp.int32(1)
+            h = jnp.maximum(hdg[c], (jnp.int32(1) - bit) * jnp.int32(X))
+            mh = h if mh is None else jnp.minimum(mh, h)
+        gm = jnp.minimum(gm, mh)
+        # shift amounts clamped so both select branches stay defined
+        sh = jnp.int32(8) * mh
+        sh0 = jnp.minimum(sh, jnp.int32(16))
+        sh1 = jnp.clip(sh - jnp.int32(24), jnp.int32(0), jnp.int32(16))
+        e0 = jnp.where(mh < 3, jnp.int32(1) << sh0, jnp.int32(0))
+        e1 = jnp.where((mh >= 3) & (mh < X),
+                       jnp.int32(1) << sh1, jnp.int32(0))
+        # dtype pinned: under x64 jnp.sum would promote to (unsupported) i64
+        out_ref[:, s, 0] = jnp.sum(e0, axis=1, dtype=jnp.int32)
+        out_ref[:, s, 1] = jnp.sum(e1, axis=1, dtype=jnp.int32)
+    hd_min_ref[:] = jnp.min(gm, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("th", "C0", "S", "interpret"))
+def probe_hist_packed(res: jax.Array, light: jax.Array, ents, th: int,
+                      C0: int, S: int, interpret: bool = False):
+    """Packed-counter epilogue over [N, P] planes.
+
+    res [N, P] u32; light [N, P] bool; ents = 2*C0 planes [N, P] u32
+    (enc_c, mask_c alternating). Returns (hist [N, S, th+1] i32,
+    minall [N] i32 with HD_SENTINEL for unmatched rows)."""
+    from jax.experimental import pallas as pl
+
+    N, P = res.shape
+    X = th + 1
+    assert X <= 6 and P <= 255 and S <= 32
+    TB = 256
+    Np = ((N + TB - 1) // TB) * TB
+    if Np != N:
+        pad = Np - N
+        res = jnp.pad(res, ((0, pad), (0, 0)))
+        light = jnp.pad(light, ((0, pad), (0, 0)))
+        ents = [jnp.pad(e, ((0, pad), (0, 0))) for e in ents]
+    res = jax.lax.bitcast_convert_type(res, jnp.int32)
+    ents = [jax.lax.bitcast_convert_type(e, jnp.int32) for e in ents]
+    kern = functools.partial(_packed_kernel, th=th, C0=C0, S=S)
+    plane = pl.BlockSpec((TB, P), lambda i: (i, i * 0))
+    hd_min, packed = pl.pallas_call(
+        kern,
+        grid=(Np // TB,),
+        in_specs=[plane, plane] + [plane] * (2 * C0),
+        out_specs=[
+            pl.BlockSpec((TB, 1), lambda i: (i, i * 0)),
+            pl.BlockSpec((TB, S, 2), lambda i: (i, i * 0, i * 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Np, S, 2), jnp.int32),
+        ],
+        interpret=interpret,
+    )(res, light.astype(jnp.int32), *ents)
+    packed = packed[:N]
+    minall = hd_min[:N, 0]
+    minall = jnp.where(minall >= X, HD_SENTINEL, minall)
+    # decode base-256 packed counters -> [N, S, X]
+    planes = []
+    for x in range(X):
+        w = packed[..., 0] if x < 3 else packed[..., 1]
+        off = 8 * x if x < 3 else 8 * (x - 3)
+        planes.append((w >> off) & jnp.int32(255))
+    hist = jnp.stack(planes, axis=-1)
+    return hist, minall
+
+
 def hdist_chunk_xla(res: jax.Array, enc: jax.Array, cnt: jax.Array,
                     th: int = 4):
     """Reference XLA implementation of the same contract."""
