@@ -166,6 +166,55 @@ int64_t krepp_sort_unique_pairs(uint32_t *rows, uint32_t *res, int64_t n)
     return m;
 }
 
+/* 2-bit-pack a read batch for the device upload (the host half of
+ * codec.pack_codes_host; numpy needed several full-array passes, ~30 ms
+ * per 16k-read batch on a small host). codes: u8 [B, L] base codes
+ * (0..3 = ACGT, >=4 invalid); lengths: i32 [B]. Fills packed u32
+ * [B, (L+15)/16] and vbits u32 [B, (L+31)/32] (1 = valid base), and
+ * returns the number of reads carrying an invalid base inside their
+ * length (0 => the caller can drop vbits). */
+int64_t krepp_pack_codes(const uint8_t *codes, int64_t B, int64_t L,
+                         const int32_t *lengths, uint32_t *packed,
+                         uint32_t *vbits)
+{
+    int64_t W = (L + 15) / 16;
+    int64_t WV = (L + 31) / 32;
+    int64_t n_invalid = 0;
+#ifdef _OPENMP
+#pragma omp parallel for reduction(+:n_invalid)
+#endif
+    for (int64_t b = 0; b < B; b++) {
+        const uint8_t *row = codes + b * L;
+        int32_t len = lengths[b];
+        int bad = 0;
+        for (int64_t w = 0; w < W; w++) {
+            uint32_t acc = 0;
+            int64_t base = w * 16;
+            int64_t hi = base + 16 < L ? base + 16 : L;
+            for (int64_t j = base; j < hi; j++) {
+                uint8_t c = row[j];
+                if (c < 4)
+                    acc |= (uint32_t)c << (2 * (j - base));
+            }
+            packed[b * W + w] = acc;
+        }
+        for (int64_t w = 0; w < WV; w++) {
+            uint32_t acc = 0;
+            int64_t base = w * 32;
+            int64_t hi = base + 32 < L ? base + 32 : L;
+            for (int64_t j = base; j < hi; j++) {
+                if (row[j] < 4)
+                    acc |= 1u << (j - base);
+                else if (j < len)
+                    bad = 1;
+            }
+            vbits[b * WV + w] = acc;
+        }
+        n_invalid += bad;
+    }
+    return n_invalid;
+}
+
 /* Sort u64 keys only (no payload; per-genome dedupe and sketch builds). */
 int64_t krepp_sort_k(uint64_t *keys, int64_t n)
 {

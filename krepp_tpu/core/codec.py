@@ -82,6 +82,11 @@ def pack_codes_host(codes: np.ndarray, lengths: np.ndarray):
     its length — for the common all-ACGT batch the per-read `lengths` alone
     reconstruct validity.
     """
+    from .native_sort import pack_codes as _native_pack
+
+    native = _native_pack(codes, lengths)
+    if native is not None:
+        return native
     B, L = codes.shape
     W = (L + 15) // 16
     c = np.where(codes < 4, codes, 0).astype(np.uint32)

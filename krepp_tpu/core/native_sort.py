@@ -76,6 +76,12 @@ def get_lib():
             lib.krepp_sort_unique_pairs.argtypes = [
                 ctypes.POINTER(ctypes.c_uint32),
                 ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64]
+            lib.krepp_pack_codes.restype = ctypes.c_int64
+            lib.krepp_pack_codes.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint32)]
             _self_test(lib)
         except Exception as e:  # noqa: BLE001
             print(f"[krepp-tpu] native sort build failed ({e}); "
@@ -105,6 +111,28 @@ def sort_kv(keys: np.ndarray, vals: np.ndarray
         order = np.argsort(keys, kind="stable")
         return keys[order], vals[order]
     return k, v
+
+
+def pack_codes(codes: np.ndarray, lengths: np.ndarray):
+    """Native 2-bit read packing; returns (packed, vbits | None) or None
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B, L = codes.shape
+    W = (L + 15) // 16
+    WV = (L + 31) // 32
+    codes_c = np.ascontiguousarray(codes, np.uint8)
+    lengths_c = np.ascontiguousarray(lengths, np.int32)
+    packed = np.empty((B, W), np.uint32)
+    vbits = np.empty((B, WV), np.uint32)
+    n_inv = lib.krepp_pack_codes(
+        codes_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(B), ctypes.c_int64(L),
+        lengths_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        vbits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return packed, (vbits if n_inv else None)
 
 
 def pack_keys(rows: np.ndarray, res: np.ndarray) -> np.ndarray:

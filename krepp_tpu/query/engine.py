@@ -59,15 +59,23 @@ def _csr_bucket_slices(row_start, row_ids, urow, resident):
     return start, cnt
 
 
-# Dense slots materialized per bucket row in hybrid mode. The bucket-row
-# gather runs near HBM streaming rate (row width is cheap), while every
-# probe spilling past the dense slots pays the compacted CSR heavy tail —
-# measured the single largest probe cost at DENSE_SLOTS=2 — so the dense
-# row holds the first 4 entries (+ a count word); at winnowed-index bucket
-# statistics (Poisson lambda ~0.5) under 0.1% of probes then spill.
-DENSE_SLOTS = 4
+# Dense slots materialized per bucket row in hybrid mode. Random-row gather
+# cost on TPU is dominated by per-row latency but still grows with width, so
+# the dense row holds only the first DENSE_SLOTS entries (+ a count word);
+# deeper buckets are rescanned through the CSR by the compacted heavy tail.
+# (DENSE_SLOTS=4 was measured slower: the packed epilogue cost scales with
+# C0 while the tail cost is dominated by fixed per-batch overhead.)
+DENSE_SLOTS = 2
 # Fraction cap for the heavy tail: K = max(1024, nprobes // HEAVY_DIV).
+# ~2% of probes are heavy at winnowed-index bucket statistics; overflow
+# falls back to the exact rescan.
 HEAVY_DIV = 32
+# Heavy-tail buckets up to this depth are rescanned with ONE unrolled
+# padded gather (no while_loop); only deeper buckets (vanishing at
+# winnowed-index statistics) take the sequential scan loop.
+TAIL_UNROLL = 16
+# Second-stage compaction cap divisor for those ultra-deep buckets.
+DEEP_DIV = 256
 # HBM budget for the dense bucket-row table.
 DIRECT_MEM_CAP = 2 << 30
 # Embed the leaf bitmask next to each residual only while it is this narrow
@@ -425,13 +433,56 @@ class QueryEngine:
             start = row_start[hurow]
             hcnt = jnp.where(live, (row_start[hurow + 1] - start),
                              0).astype(jnp.int32)
-            from .bucket_scan import _scan_loop
+            # tier A: one unrolled padded gather over the first TAIL_UNROLL
+            # entries of every heavy bucket — the while_loop's serialized
+            # per-iteration overhead dominated the probe at real bucket
+            # depths (max ~10 on winnowed indexes)
+            nk = max(enc_se.shape[0], 1)
+            MB = min(max_bucket, TAIL_UNROLL)
+            jj = jnp.arange(MB, dtype=jnp.int32)
+            idx = jnp.minimum(start[:, None] + jj[None, :], nk - 1)
+            pair = enc_se[idx]                           # [K, MB, 2]
+            hd = codec.hdist_lr32(pair[..., 0], hres[:, None])
+            inb = jj[None, :] < jnp.minimum(hcnt, MB)[:, None]
+            match = inb & (hd <= th)
+            sev = jnp.where(match, pair[..., 1], 0).astype(jnp.int32)
+            msk = mask_tab[sev]                          # [K, MB, W]
+            Mm = []
+            for x in range(X):
+                hitx = (match & (hd == x))[..., None]
+                sel = jnp.where(hitx, msk, 0)
+                plane = sel[:, 0]
+                for j in range(1, MB):   # OR: one bucket may repeat colors
+                    plane = plane | sel[:, j]
+                Mm.append(plane)
+            Mm = jnp.stack(Mm)                           # [X, K, W]
+            hgmin = jnp.min(jnp.where(match, hd, HD_SENTINEL), axis=1)
 
-            Mm0 = jnp.zeros((X, K, W), jnp.uint32)
-            gmin0 = jnp.full((K,), HD_SENTINEL, jnp.int32)
-            hmax = jnp.minimum(jnp.max(hcnt), max_bucket)
-            Mm, hgmin = _scan_loop(enc_se, mask_tab, start,
-                                   hcnt, hres, th, W, 0, hmax, Mm0, gmin0)
+            if max_bucket > TAIL_UNROLL:
+                # tier B: ultra-deep buckets finish with the scan loop
+                from .bucket_scan import _scan_loop
+
+                K2 = min(K, max(256, Np // DEEP_DIV))
+                deep = live & (hcnt > MB)
+                didx, ndeep = compact_mask_indices(deep, K2)
+                overflow = overflow | (ndeep > K2)
+                dsafe = jnp.minimum(didx, K - 1)
+                dlive = (didx < K) & deep[dsafe]
+                dcnt = jnp.where(dlive, hcnt[dsafe], 0)
+                Mm20 = jnp.zeros((X, K2, W), jnp.uint32)
+                gmin20 = jnp.full((K2,), HD_SENTINEL, jnp.int32)
+                hmax = jnp.minimum(jnp.max(dcnt), max_bucket)
+                Mm2, gmin2 = _scan_loop(enc_se, mask_tab, start[dsafe],
+                                        dcnt, hres[dsafe], th, W, MB, hmax,
+                                        Mm20, gmin20)
+                for x in range(X):
+                    merged = Mm[x].at[dsafe].set(
+                        jnp.where(dlive[:, None], Mm[x][dsafe] | Mm2[x],
+                                  Mm[x][dsafe]), mode="drop",
+                        unique_indices=True)
+                    Mm = Mm.at[x].set(merged)
+                hgmin = hgmin.at[dsafe].min(
+                    jnp.where(dlive, gmin2, HD_SENTINEL), mode="drop")
             seen = None
             w_live = live.astype(jnp.uint32)
             for x in range(X):
@@ -625,7 +676,9 @@ class QueryEngine:
         uc2 = jnp.concatenate([uc_or, uc_rc])
         rho2 = jnp.concatenate([rho_l, rho_l])
         # lanes are already compact — run the solver on all of them (its
-        # per-lane trajectory is independent of neighboring lanes)
+        # per-lane trajectory is independent of neighboring lanes; a
+        # keep-masked brent_on_mask was measured slower here: most lanes
+        # keep both strands, so the masked path pays compaction for nothing)
         d2, v2 = brent_find_minima(
             lambda dd: self._llh_fast(dd, A2, Bx2, uc2, rho2), (2 * K,))
         d_or = jnp.where(keep_or, d2[:K], D_MAX)
