@@ -60,6 +60,7 @@ class ShardedQueryEngine(QueryEngine):
 
     def _init_tables(self, dindex: DeviceIndex) -> None:
         """Shard-placed arrays replace the single-device tables."""
+        self._event_lanes = False   # per-shard dense histograms psum
         if self._use_event:
             # many-genome index: per-shard event probe over 'se'-flavor
             # bucket-row shards + a replicated leaf-slot CSR; per-shard

@@ -202,6 +202,10 @@ class QueryEngine:
         csr = self._csr_arrays(dindex)
         if self._use_event:
             self.mode = "event"
+            # single-device event mode stays in lane form end to end
+            # (no [B, S, X] histogram); the sharded engine overrides this
+            # (its per-shard dense histograms psum exactly)
+            self._event_lanes = True
             self.C0 = min(DENSE_SLOTS, max(1, dindex.max_bucket))
             slots, _ = build_hybrid_slots(
                 dindex.row_start, dindex.enc_v, dindex.se_v, None,
@@ -527,14 +531,17 @@ class QueryEngine:
         """Capacity tier for the event probe; each tier 16x the last.
 
         Overflowing batches re-run at the next tier (fetch_prefetched), so
-        caps bound memory, never results. Tier 0 sizes the leaf-event
-        buffer at Np/8: expansion + dedupe-sort cost scales with CAP_L, and
-        measured hit rates (winnowed index, two strands, hdist_th) leave
-        real event counts far below one per probe; match-dense batches pay
-        one escalated re-run instead of every batch paying 16x padding."""
+        caps bound memory, never results. Tier-0 sizing: many-genome
+        indexes run denser than the small-S hybrid worlds (lambda ~2
+        entries/row at the reference defaults on 1000 genomes puts ~8% of
+        probes past the dense slots), so the heavy cap is Np/8 — r03's
+        Np/16 made EVERY production batch escalate a tier. The leaf-event
+        buffer at Np/8 covers measured hit rates with two strands and
+        hdist_th; match-dense batches pay one escalated re-run instead of
+        every batch paying 16x padding."""
         Np = 2 * B * P
         E = min(8 << (2 * tier), max(self.di.max_bucket, 1))
-        KH = min(Np, max(1024, Np // HEAVY_DIV) << (2 * tier))
+        KH = min(Np, max(4096, Np // 8) << (2 * tier))
         CAP_L = max(1 << 16, Np // 8) << (2 * tier)
         return E, KH, CAP_L
 
@@ -624,13 +631,10 @@ class QueryEngine:
         """
         from ..core.compact import compact_mask_indices
 
-        th = self.th
-        X = th + 1
         B = hist_or.shape[0]
         S = self.S
         BS = B * S
-        NB = B + 1
-        xs = jnp.arange(X, dtype=jnp.int32)
+        X = self.th + 1
 
         # counts are tiny; the CPU/x64 epilogue may deliver int64
         hist_or = hist_or.astype(jnp.int32)
@@ -642,13 +646,31 @@ class QueryEngine:
         lane_over = nset > K
         lv = idx < BS
         safe = jnp.minimum(idx, BS - 1)
+        h_or = jnp.where(lv[:, None], hist_or.reshape(BS, X)[safe], 0)
+        h_rc = jnp.where(lv[:, None], hist_rc.reshape(BS, X)[safe], 0)
+        return self._stage2_core(idx, lv, h_or, h_rc, minall_or, minall_rc,
+                                 onmers, leaf_ok, lane_over)
+
+    def _stage2_core(self, idx, lv, h_or, h_rc, minall_or, minall_rc,
+                     onmers, leaf_ok, lane_over):
+        """Lane-form stage 2 on pre-extracted (read, leaf) lanes.
+
+        idx: [K] int32 ascending b*S+s keys (sentinel B*S for empty);
+        h_or/h_rc: [K, X] int32 per-strand first-match histograms."""
+        th = self.th
+        X = th + 1
+        B = minall_or.shape[0]
+        S = self.S
+        BS = B * S
+        NB = B + 1
+        K = idx.shape[0]
+        xs = jnp.arange(X, dtype=jnp.int32)
+
+        safe = jnp.minimum(idx, BS - 1)
         lb = safe // S                                        # owning read
         ls = safe - lb * S                                    # leaf slot
         seg = jnp.where(lv, lb, B)                            # sorted ids
         lok = leaf_ok[ls]
-
-        h_or = jnp.where(lv[:, None], hist_or.reshape(BS, X)[safe], 0)
-        h_rc = jnp.where(lv[:, None], hist_rc.reshape(BS, X)[safe], 0)
         mc_or = jnp.sum(h_or, axis=-1, dtype=jnp.int32)
         mc_rc = jnp.sum(h_rc, axis=-1, dtype=jnp.int32)
 
@@ -760,6 +782,91 @@ class QueryEngine:
                     best_d=best_d, hist_c=hist_c, uc_c=uc_c, rho_c=rho_c,
                     v_c=v_c, ratio_l=ratio_l)
 
+    def _event_lane_join(self, nb_lane, leaf_lane, hist_lanes, K: int,
+                         B: int):
+        """(strand-read, leaf) event lanes -> stage-2 lane inputs.
+
+        Sorts event lanes by (read, leaf, strand), merges each or/rc pair
+        into one (read, leaf) group, and compacts groups to K slots in
+        ascending b*S+s order — exactly the lane set/order the dense
+        extraction produces, with no [B, S] array materialised."""
+        S = self.S
+        CAP = nb_lane.shape[0]
+        N = 2 * B
+        BS = B * S
+        K = min(K, CAP)
+        valid = nb_lane < N
+        strand = jnp.where(nb_lane >= B, 1, 0)
+        b = nb_lane - strand * B
+        big = BS << 1
+        key = jnp.where(valid,
+                        ((b * S + leaf_lane) << 1) | strand,
+                        big).astype(jnp.int32)
+        ks, perm = jax.lax.sort(
+            (key, jnp.arange(CAP, dtype=jnp.int32)), num_keys=1)
+        hist_s = hist_lanes[perm]
+        vs = ks < big
+        gkey = ks >> 1
+        strand_s = ks & 1
+        prev = jnp.concatenate([jnp.full((1,), -1, gkey.dtype), gkey[:-1]])
+        first = (gkey != prev) & vs
+        gid = jnp.maximum(jnp.cumsum(first.astype(jnp.int32)) - 1, 0)
+        h_or_g = jax.ops.segment_sum(
+            jnp.where((strand_s == 0) & vs, 1, 0)[:, None] * hist_s, gid,
+            num_segments=CAP, indices_are_sorted=True)
+        h_rc_g = jax.ops.segment_sum(
+            jnp.where((strand_s == 1) & vs, 1, 0)[:, None] * hist_s, gid,
+            num_segments=CAP, indices_are_sorted=True)
+        gkey_g = jax.ops.segment_max(jnp.where(vs, gkey, -1), gid,
+                                     num_segments=CAP,
+                                     indices_are_sorted=True)
+        ngroups = jnp.sum(first.astype(jnp.int32))
+        pos = jnp.arange(K, dtype=jnp.int32)
+        lv = pos < ngroups
+        idx = jnp.where(lv, jnp.maximum(gkey_g[:K], 0), BS).astype(jnp.int32)
+        h_or = jnp.where(lv[:, None], h_or_g[:K], 0)
+        h_rc = jnp.where(lv[:, None], h_rc_g[:K], 0)
+        lane_over = ngroups > K
+        return idx, lv, h_or, h_rc, lane_over
+
+    def _probe_and_lanes(self, tables, codes, lengths, leaf_ok,
+                         lane_cap: Optional[int], exact: bool, tier: int):
+        """Probe + lane extraction -> (L dict, onmers, probe_overflow).
+
+        Single-device event mode stays in lane form end to end
+        (event_probe_lanes + _event_lane_join); every other mode probes
+        dense histograms and extracts lanes from them."""
+        if getattr(self, "_event_lanes", False):
+            from .event_probe import event_probe_lanes
+
+            slots_d, enc_se, row_start, row_ids, leaf_off, leaf_slots = \
+                tables
+            rix2, res2, valid, onmers = self._strand_hashes(codes, lengths)
+            urow, resident = self._urow(rix2, valid[None])
+            sidx, hrow, resident = self._route_rows(row_ids, urow, resident)
+            B, P = codes.shape[0], urow.shape[2]
+            etier = max(tier, 2) if exact else tier
+            E, KH, CAP_L = self._event_caps(B, P, etier)
+            nb_lane, leaf_lane, hist_lanes, minall, ov = event_probe_lanes(
+                slots_d, enc_se, row_start, leaf_off, leaf_slots,
+                sidx, hrow, resident, res2, self.th, self.C0, self.S,
+                self.di.max_bucket, E, KH, CAP_L)
+            minall = minall.reshape(2, B)
+            K = B * self.S if lane_cap is None else min(B * self.S,
+                                                        lane_cap)
+            idx, lv, h_or, h_rc, lane_over = self._event_lane_join(
+                nb_lane, leaf_lane, hist_lanes, K, B)
+            L = self._stage2_core(idx, lv, h_or, h_rc, minall[0], minall[1],
+                                  onmers, leaf_ok, lane_over)
+            return L, onmers, ov
+        probe_out = self._probe_dispatch(tables, codes, lengths, exact,
+                                         tier)
+        onmers, ov = probe_out[4], probe_out[5]
+        B = codes.shape[0]
+        K = B * self.S if lane_cap is None else min(B * self.S, lane_cap)
+        L = self._stage2_lanes(*probe_out[:5], leaf_ok, K)
+        return L, onmers, ov
+
     def _stage2_impl(self, hist_or, hist_rc, minall_or, minall_rc, onmers,
                      leaf_ok, lane_cap: Optional[int] = None):
         """Dense [B, S] view of the lane-compacted stage 2 (scatter-back).
@@ -769,10 +876,16 @@ class QueryEngine:
         B = hist_or.shape[0]
         S = self.S
         BS = B * S
-        X = self.th + 1
         K = BS if lane_cap is None else min(BS, lane_cap)
         L = self._stage2_lanes(hist_or, hist_rc, minall_or, minall_rc,
                                onmers, leaf_ok, K)
+        return self._scatter_back(L, B, onmers), L["lane_over"]
+
+    def _scatter_back(self, L, B: int, onmers):
+        """Lane dict -> the dense 14-tuple (full out_mode)."""
+        S = self.S
+        BS = B * S
+        X = self.th + 1
         idx = L["idx"]
 
         def scat(init, val):
@@ -793,10 +906,9 @@ class QueryEngine:
                                      L["uc_c"], L["rho_c"]) - L["v_c"])
         ratio = scat(jnp.repeat(ratio_row, S), L["ratio_l"])
         rho = jnp.broadcast_to(self._rho_slot[None, :], (B, S)).astype(F)
-        out = (present, hist_f, d_f, v_f, mc_f, uc_f, rho,
-               L["best_slot"], L["best_d"], L["hist_c"], L["uc_c"],
-               L["rho_c"], L["v_c"], ratio)
-        return out, L["lane_over"]
+        return (present, hist_f, d_f, v_f, mc_f, uc_f, rho,
+                L["best_slot"], L["best_d"], L["hist_c"], L["uc_c"],
+                L["rho_c"], L["v_c"], ratio)
 
     def _probe_dispatch(self, tables, codes, lengths, exact: bool = False,
                         tier: int = 0):
@@ -818,12 +930,6 @@ class QueryEngine:
         """
         L = packed.shape[1] * 16
         codes = codec.unpack_codes(packed, lengths, L, vbits)
-        probe_out = self._probe_dispatch(tables, codes, lengths, exact, tier)
-        onmers = probe_out[4]
-        # overflow is a bit-flag word: bit 0 = probe capacity (heavy tail /
-        # event caps), bit 1 = stage-2 lane cap — the two escalate
-        # independently in fetch_prefetched
-        probe_ov = jnp.max(probe_out[5].astype(jnp.int32))
         B = codes.shape[0]
         S = self.S
         # _lane_cap_override: test hook forcing lane-cap truncation (real
@@ -832,12 +938,15 @@ class QueryEngine:
             max(8 * B, 4096)
         lane_cap = None if (exact or lane_exact) else min(
             B * S, base_cap << (2 * tier))
+        lanes, onmers, probe_ov_raw = self._probe_and_lanes(
+            tables, codes, lengths, leaf_ok, lane_cap, exact, tier)
+        # overflow is a bit-flag word: bit 0 = probe capacity (heavy tail /
+        # event caps), bit 1 = stage-2 lane cap — the two escalate
+        # independently in fetch_prefetched
+        probe_ov = jnp.max(jnp.asarray(probe_ov_raw).astype(jnp.int32))
         if out_mode in ("dist", "dist_ratio"):
             from ..core.compact import compact_mask_indices
 
-            lanes = self._stage2_lanes(
-                *probe_out[:5], leaf_ok, B * S if lane_cap is None
-                else lane_cap)
             overflow = probe_ov | lanes["lane_over"].astype(jnp.int32) * 2
             present = jnp.zeros((B * S,), bool).at[lanes["idx"]].set(
                 lanes["present_l"], mode="drop").reshape(B, S)
@@ -857,10 +966,9 @@ class QueryEngine:
                                lanes["uc_c"].astype(jnp.int32),
                                lanes["v_c"])
             return base + (fetch_over, overflow)
-        out, lane_over = self._stage2_impl(*probe_out[:5], leaf_ok,
-                                           lane_cap=lane_cap)
-        return tuple(out) + (onmers,
-                             probe_ov | lane_over.astype(jnp.int32) * 2)
+        out = self._scatter_back(lanes, B, onmers)
+        return tuple(out) + (
+            onmers, probe_ov | lanes["lane_over"].astype(jnp.int32) * 2)
 
     # -------------------------------------------------------------- public
     def suggested_batch_reads(self, place: bool = False) -> int:

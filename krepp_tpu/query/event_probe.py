@@ -33,10 +33,226 @@ import numpy as np
 from ..core import codec
 
 HD_SENTINEL = 255
+# heavy buckets up to this depth are rescanned with one unrolled padded
+# gather in the lanes formulation; deeper buckets take the E-slot loop
+EVENT_TAIL_UNROLL = 24
 
 
 def _shift_prev(x, fill):
     return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+
+def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
+                      sidx, hrow, resident, res2,
+                      th: int, C0: int, S: int, max_bucket: int,
+                      E: int, KH: int, CAP_L: int):
+    """Lane-form event probe for the single-device engine.
+
+    Same semantics as event_probe (the sharded path keeps that one: its
+    per-shard dense histograms psum exactly), but everything stays in
+    compacted lane form — no [N, S, X] histogram is ever materialised, so
+    memory and compute are independent of the genome count S:
+
+      1. light pass over the first C0 dense slots; heavy buckets rescan
+         through ONE unrolled padded gather of their first
+         EVENT_TAIL_UNROLL entries (the while_loop's serialized iterations
+         dominated), with only deeper buckets taking the E-slot loop;
+      2. matched (probe-lane, se, hd) events COMPACT to CAP_L slots before
+         any expansion machinery runs (the raw candidate grid is ~20x
+         larger than the matched set);
+      3. color -> leaf expansion and the (strand-read, leaf, pos) dedupe
+         sort as in event_probe;
+      4. returns per-(strand-read, leaf) lanes:
+         (nb_lane [CAP_L] int32 with sentinel N for empty,
+          leaf_lane [CAP_L] int32, hist_lanes [CAP_L, X] int32,
+          minall [N] int32, overflow bool).
+    """
+    X = th + 1
+    _, B, P = sidx.shape
+    N = 2 * B
+    Np = N * P
+    nk = max(enc_se.shape[0], 1)
+    from ..core.compact import compact_mask_indices
+
+    # ---------------------------------------------------------- light pass
+    d = slots_d[sidx]                                    # [2, B, P, 1+2C0]
+    cnt = jnp.where(resident, d[..., 0].astype(jnp.int32), 0)
+    heavy = cnt > C0
+    light = resident & jnp.logical_not(heavy)
+    enc = d[..., 1: 1 + C0]
+    se_l = d[..., 1 + C0: 1 + 2 * C0].astype(jnp.int32)
+    hd_l = codec.hdist_lr32(enc, res2[..., None])        # [2, B, P, C0]
+    jc = jax.lax.broadcasted_iota(jnp.int32, hd_l.shape, 3)
+    lm = light[..., None] & (jc < cnt[..., None]) & (hd_l <= th)
+    gmin_l = jnp.min(jnp.where(lm, hd_l, HD_SENTINEL), axis=-1)
+    minall = jnp.min(gmin_l, axis=-1).reshape(N)         # [N]
+
+    # ----------------------------------------------------------- heavy tail
+    overflow = jnp.bool_(False)
+    ML = Np * C0
+    ev_ok_parts = [lm.reshape(ML)]
+    if max_bucket > C0:
+        hf = heavy.reshape(Np)
+        hidx, nheavy = compact_mask_indices(hf, KH)
+        overflow = nheavy > KH
+        live = (hidx < Np) & hf[jnp.minimum(hidx, Np - 1)]
+        hsafe = jnp.minimum(hidx, Np - 1)
+        hurow = hrow.reshape(Np)[hsafe]
+        hres = res2.reshape(Np)[hsafe]
+        start = row_start[hurow]
+        hcnt = jnp.where(live, (row_start[hurow + 1] - start),
+                         0).astype(jnp.int32)
+        MB = min(max_bucket, EVENT_TAIL_UNROLL)
+        jj = jnp.arange(MB, dtype=jnp.int32)
+        eidx = jnp.minimum(start[:, None] + jj[None, :], nk - 1)
+        pair_h = enc_se[eidx]                            # [KH, MB, 2]
+        hd_h = codec.hdist_lr32(pair_h[..., 0], hres[:, None])
+        inb = jj[None, :] < jnp.minimum(hcnt, MB)[:, None]
+        match_h = inb & (hd_h <= th)
+        se_h = jnp.where(match_h, pair_h[..., 1], 0).astype(jnp.int32)
+        hgmin = jnp.min(jnp.where(match_h, hd_h, HD_SENTINEL), axis=1)
+        if max_bucket > MB:
+            # ultra-deep remainder: E-slot insertion loop from j0 = MB
+            K2 = max(KH // 8, 256)
+            deep = live & (hcnt > MB)
+            didx, ndeep = compact_mask_indices(deep, K2)
+            overflow = overflow | (ndeep > K2)
+            dsafe = jnp.minimum(didx, KH - 1)
+            dlive = (didx < KH) & deep[dsafe]
+            dcnt = jnp.where(dlive, hcnt[dsafe], 0)
+            dstart = start[dsafe]
+            dres = hres[dsafe]
+            je = jax.lax.broadcasted_iota(jnp.int32, (K2, E), 1)
+
+            def body(carry):
+                j, bse, bhd, nm, gm = carry
+                ii = jnp.minimum(dstart + j, nk - 1)
+                pr = enc_se[ii]
+                hdd = codec.hdist_lr32(pr[..., 0], dres)
+                m = (j < dcnt) & (hdd <= th)
+                gm = jnp.where(m, jnp.minimum(gm, hdd), gm)
+                put = m[:, None] & (nm[:, None] == je)
+                bse = jnp.where(put, pr[..., 1].astype(jnp.int32)[:, None],
+                                bse)
+                bhd = jnp.where(put, hdd[:, None], bhd)
+                nm = nm + m.astype(jnp.int32)
+                return j + 1, bse, bhd, nm, gm
+
+            hmax = jnp.minimum(jnp.max(dcnt), max_bucket)
+            _, bse, bhd, nm, gm2 = jax.lax.while_loop(
+                lambda c: c[0] < hmax, body,
+                (jnp.int32(MB), jnp.zeros((K2, E), jnp.int32),
+                 jnp.zeros((K2, E), jnp.int32), jnp.zeros((K2,), jnp.int32),
+                 jnp.full((K2,), HD_SENTINEL, jnp.int32)))
+            overflow = overflow | jnp.any(nm > E)
+            hgmin = hgmin.at[dsafe].min(
+                jnp.where(dlive, gm2, HD_SENTINEL), mode="drop")
+        nb_h = (hsafe // P).astype(jnp.int32)
+        minall = minall.at[jnp.where(live, nb_h, N)].min(
+            hgmin, mode="drop")
+        MH = KH * MB
+        ev_ok_parts.append((match_h & live[:, None]).reshape(MH))
+        if max_bucket > MB:
+            MD = K2 * E
+            hv = dlive[:, None] & (je < jnp.minimum(nm, E)[:, None])
+            ev_ok_parts.append(hv.reshape(MD))
+
+    # --------------------------- compact matched events, then gather fields
+    ev_ok = jnp.concatenate(ev_ok_parts)
+    Mtot = ev_ok.shape[0]
+    eidx_c, nev = compact_mask_indices(ev_ok, CAP_L)
+    overflow = overflow | (nev > CAP_L)
+    ev_valid = eidx_c < Mtot
+    esafe = jnp.minimum(eidx_c, Mtot - 1)
+
+    # piecewise source decode: light block, heavy block, deep block
+    lane_l = esafe // C0
+    se_flat_l = se_l.reshape(ML)
+    hd_flat_l = hd_l.reshape(ML)
+    in_light = esafe < ML
+    ev_lane = jnp.where(in_light, lane_l, 0)
+    ev_se = jnp.where(in_light, se_flat_l[jnp.minimum(esafe, ML - 1)], 0)
+    ev_hd = jnp.where(in_light, hd_flat_l[jnp.minimum(esafe, ML - 1)], 0)
+    if max_bucket > C0:
+        hoff = esafe - ML
+        in_heavy = (esafe >= ML) & (hoff < MH)
+        hsafe2 = jnp.clip(hoff, 0, MH - 1)
+        klane = hsafe2 // MB
+        ev_lane = jnp.where(in_heavy,
+                            jnp.minimum(hidx[klane], Np - 1).astype(jnp.int32),
+                            ev_lane)
+        ev_se = jnp.where(in_heavy, se_h.reshape(MH)[hsafe2], ev_se)
+        ev_hd = jnp.where(in_heavy, hd_h.reshape(MH)[hsafe2], ev_hd)
+        if max_bucket > MB:
+            doff = esafe - ML - MH
+            in_deep = doff >= 0
+            dsafe2 = jnp.clip(doff, 0, MD - 1)
+            k2lane = dsafe2 // E
+            ev_lane = jnp.where(
+                in_deep,
+                jnp.minimum(hidx[jnp.minimum(dsafe[k2lane], KH - 1)],
+                            Np - 1).astype(jnp.int32), ev_lane)
+            ev_se = jnp.where(in_deep, bse.reshape(MD)[dsafe2], ev_se)
+            ev_hd = jnp.where(in_deep, bhd.reshape(MD)[dsafe2], ev_hd)
+    ev_ok_c = ev_valid
+
+    # --------------------------------------------- color -> leaf expansion
+    se_ok = jnp.where(ev_ok_c, ev_se, 0).astype(jnp.int64)
+    cards = jnp.where(ev_ok_c, leaf_off[se_ok + 1] - leaf_off[se_ok], 0)
+    cum = jnp.cumsum(cards)
+    T = cum[-1]
+    overflow = overflow | (T > CAP_L)
+    starts = cum - cards
+    starts_c = jnp.where(starts < CAP_L, starts, CAP_L)
+    marks = jnp.zeros((CAP_L,), jnp.int32).at[starts_c].add(
+        1, mode="drop", indices_are_sorted=True)
+    evc = jnp.maximum(jnp.cumsum(marks) - 1, 0)
+    t = jnp.arange(CAP_L, dtype=jnp.int64)
+    tv = t < jnp.minimum(T, CAP_L)
+    base = starts[evc]
+    lidx = leaf_off[se_ok[evc]] + (t - base)
+    lidx = jnp.clip(lidx, 0, max(leaf_slots.shape[0] - 1, 0))
+    leaf = leaf_slots[lidx].astype(jnp.int32)            # [CAP_L]
+    lane_t = ev_lane[evc]
+    nb = lane_t // P
+    p = lane_t - nb * P
+    hd_t = ev_hd[evc]
+
+    # ------------------------------------------------- sort + dedupe + hist
+    sbits = max(S - 1, 1).bit_length()
+    k3 = p * 8 + hd_t
+    if (N + 1) << sbits < 2**31:
+        kl = jnp.where(tv, (nb << sbits) | leaf, N << sbits)
+        kls, k3s = jax.lax.sort((kl, k3), num_keys=2)
+        k1s = kls >> sbits
+        k2s = kls & ((1 << sbits) - 1)
+        new_lane = kls != _shift_prev(kls, -1)
+    else:
+        k1 = jnp.where(tv, nb, N).astype(jnp.int32)
+        k1s, k2s, k3s = jax.lax.sort((k1, leaf, k3), num_keys=3)
+        new_lane = ((k1s != _shift_prev(k1s, -1))
+                    | (k2s != _shift_prev(k2s, -1)))
+    valid_s = k1s < N
+    ps = k3s >> 3
+    new_pos = new_lane | (ps != _shift_prev(ps, -1))
+    first = new_pos & valid_s
+    lane_id = jnp.cumsum((new_lane & valid_s).astype(jnp.int32)) - 1
+    lane_id = jnp.maximum(lane_id, 0)
+
+    hd_s = k3s & 7
+    onehot = (hd_s[:, None] == jnp.arange(X, dtype=jnp.int32)[None, :])
+    contrib = (onehot & first[:, None]).astype(jnp.int32)
+    hist_lanes = jax.ops.segment_sum(contrib, lane_id, num_segments=CAP_L,
+                                     indices_are_sorted=True)
+    nb_lane = jax.ops.segment_max(jnp.where(valid_s, k1s, -1), lane_id,
+                                  num_segments=CAP_L,
+                                  indices_are_sorted=True)
+    leaf_lane = jax.ops.segment_max(jnp.where(valid_s, k2s, 0), lane_id,
+                                    num_segments=CAP_L,
+                                    indices_are_sorted=True)
+    nb_lane = jnp.where(nb_lane >= 0, nb_lane, N).astype(jnp.int32)
+    return (nb_lane, leaf_lane.astype(jnp.int32), hist_lanes, minall,
+            overflow)
 
 
 def event_probe(slots_d, enc_se, row_start, leaf_off, leaf_slots,

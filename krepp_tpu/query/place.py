@@ -185,13 +185,13 @@ class PlaceAggregator:
         codes = _codec.unpack_codes(packed, lengths, packed.shape[1] * 16,
                                     vbits)
         exact = tier > 0
-        probe_out = eng._probe_dispatch(tables, codes, lengths, exact, tier)
-        onmers, overflow = probe_out[4], probe_out[5]
         B = codes.shape[0]
         S = eng.S
         Qp = self.Q + 1
         K = min(B * S, max(8 * B, 4096) << (4 * tier))
-        L = eng._stage2_lanes(*probe_out[:5], leaf_ok, K)
+        L, onmers, probe_ov = eng._probe_and_lanes(
+            tables, codes, lengths, leaf_ok, K, exact, tier)
+        overflow = jnp.max(jnp.asarray(probe_ov).astype(jnp.int32)) > 0
         overflow = overflow | L["lane_over"]
         lb, ls, lv, pl = L["lb"], L["ls"], L["lv"], L["present_l"]
         best_slot, best_d = L["best_slot"], L["best_d"]
