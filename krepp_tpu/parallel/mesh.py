@@ -218,7 +218,7 @@ class ShardedQueryEngine(QueryEngine):
             elif hybrid:
                 hist, minall, ov = self._hybrid_core(
                     slots_s[0], enc_se_s[0], rowstart_s[0], mask_t,
-                    sidx, hrow, mine, res2, self.di.max_bucket)
+                    sidx, hrow, mine, res2, self.di.max_bucket, tier)
                 hist = hist.reshape(2, B, self.S, self.th + 1)
                 minall = minall.reshape(2, B)
                 hists, minalls = (hist[0], hist[1]), (minall[0], minall[1])
