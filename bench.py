@@ -136,16 +136,33 @@ def world_reads(name, n, rlen=150, mut=0.05):
     return sample_read_codes(rng, genomes, n, rlen=rlen, mut=mut)
 
 
-def dist_throughput(engine, codes, batch, n_batches, label="", repeats=2):
+def _report_runs(label, nreads, rates):
+    """best + median + spread reporting (VERDICT r04 #7: regressions must
+    be visible through pool-contention noise, not debatable)."""
+    import jax
+
+    best = max(rates)
+    med = float(np.median(rates))
+    spread = best / med if med else float("inf")
+    print(f"[bench] {label}: {nreads} reads, best of {len(rates)} -> "
+          f"{best:.0f} reads/s (median {med:.0f}, spread {spread:.2f}x) "
+          f"on {jax.devices()[0]}", file=sys.stderr)
+    if spread > 1.5:
+        print(f"[bench] WARNING: {label} best/median = {spread:.2f}x > 1.5 "
+              "— the pool is contended; treat round-over-round deltas "
+              "with suspicion", file=sys.stderr)
+    return best, med
+
+
+def dist_throughput(engine, codes, batch, n_batches, label="", repeats=3):
     """Pipelined dist leaf-stage reads/s (3 batches in flight, compact
     fetch — the same path the dist driver runs).
 
-    The measurement repeats and reports the best run: both the shared TPU
-    pool and this 2-core host show multi-x run-to-run contention noise, and
-    the best run approximates uncontended capability (BASELINE.md)."""
+    Repeats three times; returns (best, median). Both the shared TPU pool
+    and this 2-core host show multi-x run-to-run contention noise — the
+    best run approximates uncontended capability (BASELINE.md), the median
+    exposes when it doesn't."""
     from collections import deque
-
-    import jax
 
     rlen = codes.shape[1]
     lengths = np.full(batch, rlen, np.int32)
@@ -163,7 +180,7 @@ def dist_throughput(engine, codes, batch, n_batches, label="", repeats=2):
     lr = one(batches[1])
     print(f"[bench] {label} warmup done; present frac "
           f"{lr.present.any(axis=1).mean():.2f}", file=sys.stderr)
-    best = 0.0
+    rates = []
     for rep in range(repeats):
         pending = deque()
         t0 = time.time()
@@ -179,13 +196,11 @@ def dist_throughput(engine, codes, batch, n_batches, label="", repeats=2):
             engine.fetch_leaf_stage(dev, lengths, codes=b, leaf_ok=leaf_ok,
                                     out_mode="dist")
         elapsed = time.time() - t0
-        best = max(best, batch * n_batches / elapsed)
-    print(f"[bench] {label}: {batch * n_batches} reads, best of {repeats} "
-          f"-> {best:.0f} reads/s on {jax.devices()[0]}", file=sys.stderr)
-    return best
+        rates.append(batch * n_batches / elapsed)
+    return _report_runs(label, batch * n_batches, rates)
 
 
-def place_throughput(name, n_batches=6, batch=4096, repeats=2):
+def place_throughput(name, n_batches=6, batch=4096, repeats=3):
     """Full place pipeline: fused device step (probe + stage2 + tree
     aggregation), pipelined fetch, host chi-square + jplace emission —
     the same work run_place does per steady-state batch, measured after
@@ -223,7 +238,7 @@ def place_throughput(name, n_batches=6, batch=4096, repeats=2):
                           False)
 
     flush(agg.run_place_async(batches[0], lengths, leaf_ok))  # warmup
-    best = 0.0
+    rates = []
     for _rep in range(repeats):
         pending = deque()
         t0 = time.time()
@@ -233,11 +248,10 @@ def place_throughput(name, n_batches=6, batch=4096, repeats=2):
                 flush(pending.popleft())
         while pending:
             flush(pending.popleft())
-        best = max(best, batch * n_batches / (time.time() - t0))
-    print(f"[bench] place: {batch * n_batches} reads, best of {repeats} -> "
-          f"{best:.0f} reads/s ({len(out.getvalue()) // (1 + repeats)} "
-          "bytes jplace per pass)", file=sys.stderr)
-    return best
+        rates.append(batch * n_batches / (time.time() - t0))
+    print(f"[bench] place '{name}': {len(out.getvalue()) // (1 + repeats)} "
+          "bytes jplace per pass", file=sys.stderr)
+    return _report_runs(f"place {name}", batch * n_batches, rates)
 
 
 def cpu_baseline():
@@ -273,7 +287,8 @@ def main():
         ensure_index("base")
         engine = load_engine("base")
         codes = world_reads("base", 2048 * 6)
-        v = dist_throughput(engine, codes, 2048, 4, label="cpu")
+        v, _med = dist_throughput(engine, codes, 2048, 4, label="cpu",
+                                  repeats=2)
         print(json.dumps({"cpu_reads_per_s": round(v, 1)}))
         return
 
@@ -290,7 +305,8 @@ def main():
     # ---- primary: dist on the base (h=11) world
     engine = load_engine("base")
     codes = world_reads("base", 16384 * 10)
-    value = dist_throughput(engine, codes, 16384, 8, label="dist base")
+    value, med = dist_throughput(engine, codes, 16384, 8, label="dist base")
+    extras["dist_reads_per_s_median"] = round(med, 1)
     del engine
 
     # ---- extras under the deadline
@@ -301,8 +317,10 @@ def main():
                 extras["build_kmers_per_s"] = round(r, 0)
             engine = load_engine("big")
             codes = world_reads("big", 16384 * 6)
-            extras["dist_big_reads_per_s"] = round(dist_throughput(
-                engine, codes, 16384, 4, label="dist big(h13)"), 1)
+            v, med = dist_throughput(engine, codes, 16384, 4,
+                                     label="dist big(h13)")
+            extras["dist_big_reads_per_s"] = round(v, 1)
+            extras["dist_big_reads_per_s_median"] = round(med, 1)
             del engine
     except Exception as e:  # noqa: BLE001
         print(f"[bench] big-index bench failed: {e}", file=sys.stderr)
@@ -312,21 +330,25 @@ def main():
             engine = load_engine("1k")
             b = min(8192, engine.suggested_batch_reads())
             codes = world_reads("1k", b * 6)
-            extras["dist_1k_reads_per_s"] = round(dist_throughput(
-                engine, codes, b, 4, label="dist 1k-genome"), 1)
+            v, med = dist_throughput(engine, codes, b, 4,
+                                     label="dist 1k-genome")
+            extras["dist_1k_reads_per_s"] = round(v, 1)
+            extras["dist_1k_reads_per_s_median"] = round(med, 1)
             del engine
     except Exception as e:  # noqa: BLE001
         print(f"[bench] 1k-genome bench failed: {e}", file=sys.stderr)
     try:
         if time_left() > 400:
-            extras["place_reads_per_s"] = round(
-                place_throughput("base"), 1)
+            v, med = place_throughput("base")
+            extras["place_reads_per_s"] = round(v, 1)
+            extras["place_reads_per_s_median"] = round(med, 1)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] place bench failed: {e}", file=sys.stderr)
     try:
         if time_left() > 350:
-            extras["place_1k_reads_per_s"] = round(
-                place_throughput("1k", n_batches=4), 1)
+            v, med = place_throughput("1k", n_batches=4)
+            extras["place_1k_reads_per_s"] = round(v, 1)
+            extras["place_1k_reads_per_s_median"] = round(med, 1)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] 1k place bench failed: {e}", file=sys.stderr)
 
