@@ -26,6 +26,13 @@ from .engine import QueryEngine, LeafResults, D_MAX
 from .dist import _bucket_len, _pad_batch
 
 
+# Stage-3 formulation threshold: dense damping-weight einsums while the
+# [Qp, S] weight grid stays under this many cells (small trees: one matmul
+# beats the event sort chain); larger worlds take the lane path whose cost
+# is matches * depth, independent of S.
+DENSE_AGG_MAX = 1 << 16
+
+
 @dataclass
 class PlaceConfig:
     hdist_th: int = 4
@@ -103,6 +110,16 @@ class PlaceAggregator:
                      0.0))
         self._agg_jit = jax.jit(self._agg_impl)
         self._place_jits = {}
+        # stage-3 formulation by scale (VERDICT r04 #3: the lane path's
+        # sort chain costs more than it saves on small trees): dense
+        # damping-weight einsums when the [Qp, S] weight grid is small,
+        # the ancestor-event lane path for many-genome worlds where
+        # anything O(S) per read is the bound
+        import os
+
+        self._dense_agg = (self.Q + 1) * engine.S <= DENSE_AGG_MAX
+        if os.environ.get("KREPP_PLACE_LANES"):
+            self._dense_agg = False   # test hook: force the lane path
 
     def _agg_impl(self, present, hist, match, d, v, uc, onmers, lengths,
                   hist_c, uc_c, rho_c, v_c):
@@ -157,6 +174,95 @@ class PlaceAggregator:
             jnp.asarray(lr.hist_closest), jnp.asarray(lr.uc_closest),
             jnp.asarray(lr.rho_closest), jnp.asarray(lr.v_closest))
         return jax.device_get(tuple(out))
+
+    def _place_dense(self, tables, packed, vbits, lengths, leaf_ok,
+                     tier: int = 0):
+        """Fused probe + stage 2 + DENSE placement aggregation for small
+        [Qp, S] grids, returning the same device-compacted candidate tuple
+        as the lane path.
+
+        The ancestor walk (ref: src/query.cpp:248-265) is one damping-
+        weight einsum over the weight grid; unlike the r03 formulation the
+        Brent re-optimisation then runs only on the COMPACTED candidate
+        lanes (support & structural & leq_tau & multi gates applied
+        densely), so the f64 solver cost scales with candidates, not
+        B * Qp."""
+        from ..core.compact import compact_mask_indices
+
+        eng = self.engine
+        X = eng.th + 1
+        tau = self.cfg.tau
+        exact = tier > 0
+        full = eng._full_impl(tables, packed, vbits, lengths, leaf_ok,
+                              exact=exact, out_mode="full", tier=tier)
+        (present, hist_f, d_f, v_f, mc_f, uc_f, _rho, best_slot, best_d,
+         hist_c, uc_c, rho_c, v_c, _ratio) = full[:14]
+        onmers, flags = full[14], full[15]
+        overflow = jnp.asarray(flags).astype(jnp.int32) > 0
+        B = present.shape[0]
+        Qp = self.Q + 1
+        n_pres = jnp.sum(present.astype(jnp.int32), axis=1)
+
+        # ---- dense ancestor aggregation (the _agg_impl einsums)
+        W = self._W
+        p = present.astype(F)                                  # [B, S]
+        histW = jnp.einsum("qs,bsx->bqx", W,
+                           hist_f.astype(F) * p[..., None])
+        matchW = jnp.einsum("qs,bs->bq", W, mc_f.astype(F) * p)
+        support = jnp.einsum("qs,bs->bq", self._Wpos.astype(F), p) > 0
+        rhoW = jnp.max(
+            jnp.where(self._Wpos[None, :, :] & present[:, None, :],
+                      self._rho_slot[None, None, :], 0.0), axis=2)
+        enmers = (lengths - eng.lsh.k + 1).astype(F)
+        lq = jnp.maximum(self._leaf_of_q, 0)
+        isl = self._is_leaf_q[None, :]                         # [1, Qp]
+        own_p = present[:, lq] & isl                           # [B, Qp]
+        hist_q = jnp.where(isl[..., None],
+                           jnp.where(own_p[..., None],
+                                     hist_f[:, lq, :].astype(F), 0.0),
+                           histW)
+        uc_q = jnp.where(isl,
+                         jnp.where(own_p, uc_f[:, lq],
+                                   onmers[:, None].astype(F)),
+                         enmers[:, None] - matchW)
+        rho_q = jnp.where(isl, self._rho_of_q[None, :], rhoW)
+        leq_tau = jnp.sum(hist_q[..., : tau + 1], axis=-1)
+
+        # ---- candidate gate + compaction (lane-path semantics)
+        leq_tau_c = jnp.sum(hist_c[:, : tau + 1], axis=1)
+        active = (n_pres > 0) & (self.cfg.no_filter | (leq_tau_c > 1.0))
+        multi_r = active & (n_pres > 1)
+        pre_cand = (support & self._cand_struct[None, :] & multi_r[:, None])
+        if not self.cfg.no_filter:
+            pre_cand = pre_cand & (leq_tau > 1.0)
+        M = B * Qp
+        Kc = min(M, max(4096, 8 * B) << (4 * tier))
+        cidx, n_cand = compact_mask_indices(pre_cand.reshape(M), Kc)
+        overflow = overflow | (n_cand > Kc)
+        csafe = jnp.minimum(cidx, M - 1)
+        cand_key = csafe                     # already b * Qp + q, ascending
+
+        # ---- Brent only on compacted candidate lanes
+        c_hist = hist_q.reshape(M, X)[csafe]
+        A_c = jnp.sum(c_hist, axis=1)
+        xs = jnp.arange(X, dtype=F)
+        Bx_c = jnp.einsum("kx,x->k", c_hist, xs)
+        c_isl = self._is_leaf_q[csafe % Qp]
+        d_opt, v_opt = brent_on_mask(
+            self._llh_fast, A_c, Bx_c, uc_q.reshape(M)[csafe],
+            rho_q.reshape(M)[csafe],
+            jnp.logical_not(c_isl) & support.reshape(M)[csafe])
+        o_has = own_p.reshape(M)[csafe]
+        cand_d = jnp.where(c_isl,
+                           jnp.where(o_has, d_f[:, lq].reshape(M)[csafe],
+                                     D_MAX),
+                           d_opt)
+        cand_v = jnp.where(c_isl,
+                           jnp.where(o_has, v_f[:, lq].reshape(M)[csafe],
+                                     0.0),
+                           v_opt)
+        return (n_pres, best_slot, best_d, hist_c, uc_c, rho_c, v_c,
+                cand_key, cand_d, cand_v, n_cand, onmers, overflow)
 
     def _place_impl(self, tables, packed, vbits, lengths, leaf_ok,
                     tier: int = 0):
@@ -301,8 +407,9 @@ class PlaceAggregator:
         if tier not in self._place_jits:
             import functools
 
+            impl = self._place_dense if self._dense_agg else self._place_impl
             self._place_jits[tier] = jax.jit(
-                functools.partial(self._place_impl, tier=tier))
+                functools.partial(impl, tier=tier))
         packed, vbits = _codec.pack_codes_host(np.asarray(codes),
                                                np.asarray(lengths))
         return self._place_jits[tier](

@@ -108,12 +108,17 @@ def test_place_candidates_match_oracle(world, multi):
         assert gv == wv, (b, rid)
 
 
-def test_run_place_rows_match_oracle(world, tmp_path):
-    """Driver-level parity: the fused lane aggregation path inside
-    run_place (ancestor-event expansion + candidate compaction) emits the
-    same jplace rows as the per-read oracle (ref: src/query.cpp:218-333)."""
+@pytest.mark.parametrize("force_lanes", [False, True])
+def test_run_place_rows_match_oracle(world, tmp_path, monkeypatch,
+                                     force_lanes):
+    """Driver-level parity: BOTH fused stage-3 formulations (dense einsum
+    aggregation for small trees, ancestor-event lane expansion forced via
+    KREPP_PLACE_LANES) emit the same jplace rows as the per-read oracle
+    (ref: src/query.cpp:218-333)."""
     import json
 
+    if force_lanes:
+        monkeypatch.setenv("KREPP_PLACE_LANES", "1")
     built, di, oi, reads, tree = world
     cfg = PlaceConfig(multi=True)
     qpath = tmp_path / "qp.fq"
