@@ -126,14 +126,26 @@ def load_engine(name, hdist_th=4):
 
 
 def world_reads(name, n, rlen=150, mut=0.05):
+    """Sampled reads for a bench world, cached on disk (regenerating the
+    big worlds costs minutes of host time per call)."""
     from krepp_tpu.testing import make_world_codes, sample_read_codes
 
+    cache = os.path.join(os.path.dirname(_cache_dir(name)),
+                         f"reads-{name}-{n}-{rlen}-{mut}.npy")
+    if os.path.exists(cache):
+        return np.load(cache)
     seed, nleaves, glen, *_ = CONFIGS[name]
     rng0 = np.random.default_rng(seed)
     _nwk, genomes = make_world_codes(rng0, nleaves=nleaves, glen=glen,
                                      rate=0.05)
     rng = np.random.default_rng(seed + 1)
-    return sample_read_codes(rng, genomes, n, rlen=rlen, mut=mut)
+    reads = sample_read_codes(rng, genomes, n, rlen=rlen, mut=mut)
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.save(cache, reads)
+    except OSError:
+        pass
+    return reads
 
 
 def _report_runs(label, nreads, rates):

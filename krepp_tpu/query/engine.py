@@ -33,7 +33,8 @@ import numpy as np
 from ..core import codec
 from .bucket_scan import (make_expander, probe_strand,
                           probe_strand_full, scan_buckets_min)
-from ..core.llh import (make_llh, make_llh_fast, brent_find_minima, F)
+from ..core.llh import (make_llh, make_llh_fast, brent_find_minima,
+                        brent_on_mask, F)
 from ..index.index import DeviceIndex, DeviceSketch
 
 HD_SENTINEL = 255          # "no match" Hamming distance marker
@@ -269,7 +270,15 @@ class QueryEngine:
             self.mode = "hybrid"
             self.hflavor = flavor
             self.C0 = min(DENSE_SLOTS, max(1, dindex.max_bucket))
-            self._tables = (jnp.asarray(slots),) + csr
+            # tail-pair table (W == 1): the leaf-mask word embedded next to
+            # each residual, so the heavy-tail rescan is ONE contiguous-row
+            # gather instead of pair + per-entry mask gathers
+            tail_pair = None
+            if self.W == 1 and dindex.max_bucket > self.C0:
+                tp = np.stack([dindex.enc_v,
+                               dindex.se_mask[dindex.se_v][:, 0]], axis=1)
+                tail_pair = jnp.asarray(tp)
+            self._tables = (jnp.asarray(slots),) + csr + (tail_pair,)
         else:
             self.mode = "csr"
             self._tables = csr
@@ -451,7 +460,8 @@ class QueryEngine:
         return jnp.concatenate([enc[..., None], mask_tab[se]], axis=-1)
 
     def _hybrid_core(self, slots_d, enc_se, row_start, mask_tab, sidx, hrow,
-                     resident, res2, max_bucket: int, tier: int = 0):
+                     resident, res2, max_bucket: int, tier: int = 0,
+                     tail_pair=None):
         """Shared hybrid probe body over pre-routed rows.
 
         sidx/hrow/resident/res2: [2, B, P]. Returns (hist [2B, S, X],
@@ -469,13 +479,14 @@ class QueryEngine:
 
         overflow = jnp.bool_(False)
         if max_bucket > C0:
-            from ..core.compact import compact_mask_indices
+            from ..core.compact import (compact_mask_indices,
+                                        compact_mask_indices_strided)
 
             Np = N * P
             K, K2 = self._heavy_caps(Np, tier)
             hf = heavy.reshape(Np)
-            hidx, nheavy = compact_mask_indices(hf, K)
-            overflow = nheavy > K
+            hidx, nheavy, blk_over = compact_mask_indices_strided(hf, K)
+            overflow = (nheavy > K) | blk_over
             # compacted indices are already ascending => seg sorted
             seg = jnp.minimum(hidx // P, N - 1).astype(jnp.int32)
             live = (hidx < Np) & hf[jnp.minimum(hidx, Np - 1)]
@@ -492,12 +503,20 @@ class QueryEngine:
             MB = min(max_bucket, TAIL_UNROLL)
             jj = jnp.arange(MB, dtype=jnp.int32)
             idx = jnp.minimum(start[:, None] + jj[None, :], nk - 1)
-            pair = enc_se[idx]                           # [K, MB, 2]
+            if tail_pair is not None:
+                # (enc, mask) embedded side by side: one gather total
+                pair = tail_pair[idx]                    # [K, MB, 2]
+                msk = pair[..., 1:2]                     # [K, MB, 1]
+            else:
+                pair = enc_se[idx]                       # [K, MB, 2]
             hd = codec.hdist_lr32(pair[..., 0], hres[:, None])
             inb = jj[None, :] < jnp.minimum(hcnt, MB)[:, None]
             match = inb & (hd <= th)
-            sev = jnp.where(match, pair[..., 1], 0).astype(jnp.int32)
-            msk = mask_tab[sev]                          # [K, MB, W]
+            if tail_pair is None:
+                sev = jnp.where(match, pair[..., 1], 0).astype(jnp.int32)
+                msk = mask_tab[sev]                      # [K, MB, W]
+            else:
+                msk = jnp.where(match[..., None], msk, jnp.uint32(0))
             Mm = []
             for x in range(X):
                 hitx = (match & (hd == x))[..., None]
@@ -533,19 +552,45 @@ class QueryEngine:
                     Mm = Mm.at[x].set(merged)
                 hgmin = hgmin.at[dsafe].min(
                     jnp.where(dlive, gmin2, HD_SENTINEL), mode="drop")
-            seen = None
-            w_live = live.astype(jnp.uint32)
-            for x in range(X):
-                bits = self._expand(Mm[x])               # [K, S]
-                if seen is None:
-                    new = bits
-                    seen = bits
-                else:
-                    new = bits & (seen ^ jnp.uint32(1))
-                    seen = seen | bits
-                contrib = (new * w_live[:, None]).astype(jnp.int32)
-                hist = hist.at[:, :, x].add(jax.ops.segment_sum(
-                    contrib, seg, num_segments=N, indices_are_sorted=True))
+            if X <= 6 and P <= 255:
+                # packed-counter aggregation (same base-256 scheme as the
+                # packed Pallas epilogue): per-(lane, leaf) minimum class,
+                # classes 0-2 at bits 0/8/16 of word 0, 3-5 of word 1 —
+                # TWO sorted segment-sums instead of X (the scatter-adds
+                # dominated the tail at X=5)
+                mh = jnp.full((K, S), X, jnp.int32)
+                for x in range(X - 1, -1, -1):
+                    bits = self._expand(Mm[x])           # [K, S] 0/1
+                    mh = jnp.where(bits != 0, x, mh)
+                w_live = live.astype(jnp.int32)[:, None]
+                sh0 = jnp.minimum(8 * mh, 24)
+                sh1 = jnp.clip(8 * (mh - 3), 0, 24)
+                e0 = jnp.where(mh < 3, jnp.int32(1) << sh0, 0) * w_live
+                e1 = jnp.where((mh >= 3) & (mh < X),
+                               jnp.int32(1) << sh1, 0) * w_live
+                p0 = jax.ops.segment_sum(e0, seg, num_segments=N,
+                                         indices_are_sorted=True)
+                p1 = jax.ops.segment_sum(e1, seg, num_segments=N,
+                                         indices_are_sorted=True)
+                for x in range(X):
+                    w = p0 if x < 3 else p1
+                    off = 8 * x if x < 3 else 8 * (x - 3)
+                    hist = hist.at[:, :, x].add((w >> off) & jnp.int32(255))
+            else:
+                seen = None
+                w_live = live.astype(jnp.uint32)
+                for x in range(X):
+                    bits = self._expand(Mm[x])           # [K, S]
+                    if seen is None:
+                        new = bits
+                        seen = bits
+                    else:
+                        new = bits & (seen ^ jnp.uint32(1))
+                        seen = seen | bits
+                    contrib = (new * w_live[:, None]).astype(jnp.int32)
+                    hist = hist.at[:, :, x].add(jax.ops.segment_sum(
+                        contrib, seg, num_segments=N,
+                        indices_are_sorted=True))
             hgmin = jnp.where(live, hgmin, HD_SENTINEL)
             minh = jax.ops.segment_min(hgmin, seg, num_segments=N,
                                        indices_are_sorted=True)
@@ -562,13 +607,13 @@ class QueryEngine:
         The dense row carries a count word and the first DENSE_SLOTS
         entries; probes hitting deeper buckets are excluded from the dense
         pass and rescanned at full depth through the CSR."""
-        slots_d, enc_se, row_start, row_ids, mask_tab = tables
+        slots_d, enc_se, row_start, row_ids, mask_tab, tail_pair = tables
         rix2, res2, valid, onmers = self._strand_hashes(codes, lengths)
         urow, resident = self._urow(rix2, valid[None])   # [2, B, P]
         sidx, hrow, resident = self._route_rows(row_ids, urow, resident)
         hist, minall, overflow = self._hybrid_core(
             slots_d, enc_se, row_start, mask_tab, sidx, hrow, resident,
-            res2, self.di.max_bucket, tier)
+            res2, self.di.max_bucket, tier, tail_pair)
         B = codes.shape[0]
         hist = hist.reshape(2, B, self.S, self.th + 1)
         minall = minall.reshape(2, B)
@@ -612,7 +657,8 @@ class QueryEngine:
 
     def _probe_csr_exact(self, tables, codes, lengths):
         """Exact full-depth CSR scan of every probe (overflow fallback)."""
-        enc_se, row_start, row_ids, mask_tab = tables[-4:]
+        enc_se, row_start, row_ids, mask_tab = tables[1:5] \
+            if self.mode == "hybrid" else tables[-4:]
         rix2, res2, valid, onmers = self._strand_hashes(codes, lengths)
         urow, resident = self._urow(rix2, valid[None])
         start, cnt = _csr_bucket_slices(row_start, row_ids, urow, resident)
@@ -744,12 +790,16 @@ class QueryEngine:
         Bx2 = jnp.concatenate([bx_or, bx_rc])
         uc2 = jnp.concatenate([uc_or, uc_rc])
         rho2 = jnp.concatenate([rho_l, rho_l])
-        # lanes are already compact — run the solver on all of them (its
-        # per-lane trajectory is independent of neighboring lanes; a
-        # keep-masked brent_on_mask was measured slower here: most lanes
-        # keep both strands, so the masked path pays compaction for nothing)
-        d2, v2 = brent_find_minima(
-            lambda dd: self._llh_fast(dd, A2, Bx2, uc2, rho2), (2 * K,))
+        # the solver is the single largest stage-2 cost (emulated f64,
+        # ~45 serialized iterations); run it only on strand-lanes that pass
+        # the hdist_filt keep gate — on real data roughly half the 2K
+        # strand-lanes are the wrong orientation (A = 0 junk) and lanes
+        # beyond the match count are padding. brent_on_mask compacts into
+        # the smallest capacity tier that fits (2K/4, 2K/2, dense), each
+        # lane's trajectory unchanged (lanes are independent).
+        keep2 = jnp.concatenate([keep_or, keep_rc])
+        d2, v2 = brent_on_mask(self._llh_fast, A2, Bx2, uc2, rho2, keep2,
+                               cap_divisors=(4, 2))
         d_or = jnp.where(keep_or, d2[:K], D_MAX)
         d_rc = jnp.where(keep_rc, d2[K:], D_MAX)
         v_or = jnp.where(keep_or, v2[:K], 0.0)
