@@ -41,6 +41,64 @@ HD_SENTINEL = 255          # "no match" Hamming distance marker
 D_MAX = np.finfo(np.float64).max  # Minfo d_llh default (ref: src/query.hpp:226)
 
 
+def _f64_segment_min(dm, keep, seg, NB, lb):
+    """Exact segment-min of f64 lanes via two native f32 passes on TPU.
+
+    The TPU X64 rewriter stores f64 as a float-float pair (hi, lo) with
+    value = hi + lo, |lo| <= ulp(hi)/2. f32 rounding is monotone, so the
+    minimum is the lexicographic min of (hi, lo): equal hi halves order by
+    lo (which may be negative), and the winning pair reconstructs the
+    stored value exactly. Emulated-f64 scatter-min cost ~9 ms per call at
+    stage-2 lane counts; the f32 pair costs two native scatter-mins.
+
+    Returns (cand [NB] f64 — D_MAX for empty segments — and the per-lane
+    `at` mask marking lanes equal to their segment's min)."""
+    if jax.default_backend() == "cpu":
+        big = jnp.float64(D_MAX)
+        cand = jax.ops.segment_min(jnp.where(keep, dm, big), seg,
+                                   num_segments=NB, indices_are_sorted=True)
+        at = keep & (dm == cand[lb])
+        return cand, at
+    hi, lo = _ff_split(dm)
+    pinf = jnp.float32(np.inf)
+    min_hi = jax.ops.segment_min(jnp.where(keep, hi, pinf), seg,
+                                 num_segments=NB, indices_are_sorted=True)
+    at_hi = keep & (hi == min_hi[lb])
+    min_lo = jax.ops.segment_min(jnp.where(at_hi, lo, pinf), seg,
+                                 num_segments=NB, indices_are_sorted=True)
+    at = at_hi & (lo == min_lo[lb])
+    cand = min_hi.astype(F) + min_lo.astype(F)
+    return jnp.where(min_hi == pinf, D_MAX, cand), at
+
+
+def _ff_split(x):
+    """f64 -> (hi, lo) f32 pair with x == widen(hi) + widen(lo) exactly on
+    TPU, where the X64 rewriter stores f64 as exactly this float-float
+    pair (hi = f32-rounded value, |lo| <= ulp(hi)/2)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(F)).astype(jnp.float32)
+    return hi, lo
+
+
+def _f64_segment_select(x, mask, seg, NB):
+    """Select the single mask-marked f64 lane of each segment (callers
+    guarantee <= 1 set lane per segment; segments with none return junk —
+    gate on your own has-contributor mask). On TPU this runs as two native
+    f32 scatter-max passes over the float-float halves instead of an
+    emulated-f64 scatter-add; reconstruction hi + lo is exact (it IS the
+    stored representation)."""
+    if jax.default_backend() == "cpu":
+        return jax.ops.segment_sum(jnp.where(mask, x, 0.0), seg,
+                                   num_segments=NB, indices_are_sorted=True)
+    hi, lo = _ff_split(x)
+    ninf = jnp.float32(-np.inf)
+    hi_m = jax.ops.segment_max(jnp.where(mask, hi, ninf), seg,
+                               num_segments=NB, indices_are_sorted=True)
+    lo_m = jax.ops.segment_max(jnp.where(mask, lo, ninf), seg,
+                               num_segments=NB, indices_are_sorted=True)
+    return hi_m.astype(F) + lo_m.astype(F)
+
+
 def _csr_bucket_slices(row_start, row_ids, urow, resident):
     """(start, cnt) per probe from a dense or sparse-row CSR.
 
@@ -277,6 +335,11 @@ class QueryEngine:
             if self.W == 1 and dindex.max_bucket > self.C0:
                 tp = np.stack([dindex.enc_v,
                                dindex.se_mask[dindex.se_v][:, 0]], axis=1)
+                # TAIL_UNROLL rows of padding let the heavy-tail rescan
+                # fetch each bucket as ONE contiguous [MB, 2] slice-gather
+                # (unclamped), ~5x faster than per-element row gathers
+                tp = np.concatenate(
+                    [tp, np.zeros((TAIL_UNROLL, 2), np.uint32)], axis=0)
                 tail_pair = jnp.asarray(tp)
             self._tables = (jnp.asarray(slots),) + csr + (tail_pair,)
         else:
@@ -572,10 +635,14 @@ class QueryEngine:
                                          indices_are_sorted=True)
                 p1 = jax.ops.segment_sum(e1, seg, num_segments=N,
                                          indices_are_sorted=True)
+                # one stacked add: X separate .at[:, :, x].add updates each
+                # re-materialized the full [N, S, X] histogram
+                planes = []
                 for x in range(X):
                     w = p0 if x < 3 else p1
                     off = 8 * x if x < 3 else 8 * (x - 3)
-                    hist = hist.at[:, :, x].add((w >> off) & jnp.int32(255))
+                    planes.append((w >> off) & jnp.int32(255))
+                hist = hist + jnp.stack(planes, axis=-1)
             else:
                 seen = None
                 w_live = live.astype(jnp.uint32)
@@ -783,9 +850,13 @@ class QueryEngine:
         uc_or = (onm_l - mc_or).astype(F)
         uc_rc = (onm_l - mc_rc).astype(F)
         rho_l = self._rho_slot[ls].astype(F)
-        xsf = xs.astype(F)
-        bx_or = jnp.einsum("kx,x->k", h_or.astype(F), xsf)
-        bx_rc = jnp.einsum("kx,x->k", h_rc.astype(F), xsf)
+        # histogram moments in exact int32 (counts and x are tiny); an f64
+        # einsum here lowered to an emulated-f64 while-loop gemm that alone
+        # cost ~25% of the whole dist step
+        bx_or = jnp.sum(h_or * xs[None, :], axis=-1,
+                        dtype=jnp.int32).astype(F)
+        bx_rc = jnp.sum(h_rc * xs[None, :], axis=-1,
+                        dtype=jnp.int32).astype(F)
         A2 = jnp.concatenate([mc_or.astype(F), mc_rc.astype(F)])
         Bx2 = jnp.concatenate([bx_or, bx_rc])
         uc2 = jnp.concatenate([uc_or, uc_rc])
@@ -826,14 +897,15 @@ class QueryEngine:
         big = jnp.float64(D_MAX)
 
         def closest(keep, dm):
-            cand = jax.ops.segment_min(jnp.where(keep, dm, big), seg,
-                                       num_segments=NB,
-                                       indices_are_sorted=True)[:B]
-            at = keep & (dm == cand[lb])
+            # exact f64 segment-min as two int32 scatter-mins over the IEEE
+            # bit halves: non-negative doubles order identically to their
+            # bit patterns, and an emulated-f64 scatter-min cost ~9 ms per
+            # call here. dm is always >= 0 (Brent results or D_MAX).
+            cand, at = _f64_segment_min(dm, keep, seg, NB, lb)
             slot = jax.ops.segment_max(jnp.where(at, ls, -1), seg,
                                        num_segments=NB,
                                        indices_are_sorted=True)[:B]
-            return cand, slot
+            return cand[:B], slot
 
         cand_or, slot_or = closest(keep_or, d_or)
         has_or = slot_or >= 0
@@ -858,18 +930,26 @@ class QueryEngine:
         uc_f = jnp.where(rc_best, uc_rc, jnp.where(or_best, uc_or, uc_f))
         present_l = present_l | is_best
 
-        # chi-square LRT of every leaf vs the closest (ref: src/query.cpp:420-424)
-        def best_sum(x):
-            return jax.ops.segment_sum(jnp.where(is_best, x, 0.0), seg,
-                                       num_segments=NB,
-                                       indices_are_sorted=True)[:B]
+        # chi-square LRT of every leaf vs the closest (ref: src/query.cpp:420-424).
+        # is_best marks exactly one lane per read, so these "sums" are
+        # single-lane selects: run them in int32 (hist, uc are integers) or
+        # through the bit-pair select (rho, v) — f64 scatter-adds are
+        # emulated and slow.
+        def best_sum_i(x):
+            return jax.ops.segment_sum(
+                jnp.where(is_best, x, 0), seg, num_segments=NB,
+                indices_are_sorted=True)[:B].astype(F)
 
         hist_c = jax.ops.segment_sum(
-            jnp.where(is_best[:, None], hist_f.astype(F), 0.0), seg,
-            num_segments=NB, indices_are_sorted=True)[:B]
-        uc_c = best_sum(uc_f)
-        rho_c = best_sum(rho_l)
-        v_c = best_sum(v_f)
+            jnp.where(is_best[:, None], hist_f, 0), seg,
+            num_segments=NB, indices_are_sorted=True)[:B].astype(F)
+        uc_c = best_sum_i((onm_l - mc_f).astype(jnp.int32))
+        has_best = best_slot >= 0
+        rho_c = jnp.where(has_best,
+                          _f64_segment_select(rho_l, is_best, seg, NB)[:B],
+                          0.0)
+        v_c = jnp.where(has_best,
+                        _f64_segment_select(v_f, is_best, seg, NB)[:B], 0.0)
         ratio_l = 2.0 * (self._llh(d_f, hist_c[lb], uc_c[lb], rho_c[lb])
                          - v_c[lb])
 

@@ -48,21 +48,23 @@ def main():
     bench(lambda c: c + 1.0, x0, "null chain")
 
     # ---- gather rate vs width/table size
-    for nrows, width in [(2 << 20, 5), (2 << 20, 1), (2 << 20, 16),
-                         (32 << 20, 5)]:
+    for nrows, width in [(2 << 20, 5), (32 << 20, 5)]:
         tab = jnp.asarray(rng.integers(0, 2**32, (nrows, width), np.uint32))
         idx0 = jnp.asarray(rng.integers(0, nrows, NP, np.int64)
                            .astype(np.int32))
 
-        def step(c, tab=tab, nrows=nrows):
-            idx, acc = c
+        def step(c, nrows=nrows):
+            # table rides in the carry: a closure constant this size blows
+            # the remote-compile payload cap
+            tab, idx, acc = c
             rows = tab[idx]
             s = jnp.sum(rows, dtype=jnp.uint32)
             idx = (idx + (s & 1).astype(jnp.int32)) % nrows
-            return idx, acc + s[None].astype(jnp.float32)
+            return tab, idx, acc + s[None].astype(jnp.float32)
 
-        bench(step, (idx0, jnp.zeros(1, jnp.float32)),
+        bench(step, (tab, idx0, jnp.zeros(1, jnp.float32)),
               f"gather [{nrows>>20}M rows x {width} u32] 4M idx", work=NP)
+        del tab, idx0
 
     # ---- sort costs
     keys0 = jnp.asarray(rng.integers(0, 2**31, NP).astype(np.int32))
