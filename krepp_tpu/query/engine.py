@@ -328,23 +328,55 @@ class QueryEngine:
             self.mode = "hybrid"
             self.hflavor = flavor
             self.C0 = min(DENSE_SLOTS, max(1, dindex.max_bucket))
-            # tail-pair table (W == 1): the leaf-mask word embedded next to
-            # each residual, so the heavy-tail rescan is ONE contiguous-row
-            # gather instead of pair + per-entry mask gathers
-            tail_pair = None
-            if self.W == 1 and dindex.max_bucket > self.C0:
-                tp = np.stack([dindex.enc_v,
-                               dindex.se_mask[dindex.se_v][:, 0]], axis=1)
-                # TAIL_UNROLL rows of padding let the heavy-tail rescan
-                # fetch each bucket as ONE contiguous [MB, 2] slice-gather
-                # (unclamped), ~5x faster than per-element row gathers
-                tp = np.concatenate(
-                    [tp, np.zeros((TAIL_UNROLL, 2), np.uint32)], axis=0)
-                tail_pair = jnp.asarray(tp)
-            self._tables = (jnp.asarray(slots),) + csr + (tail_pair,)
+            heavy_tab = None
+            if dindex.max_bucket > self.C0:
+                heavy_tab = self._build_heavy_tab(dindex, slots)
+            self._tables = (jnp.asarray(slots),) + csr + (heavy_tab,)
         else:
             self.mode = "csr"
             self._tables = csr
+
+    # Budget for the heavy-bucket side table; deeper buckets than fit take
+    # the bounded CSR scan loop.
+    HEAVY_TAB_CAP = 512 << 20
+
+    def _build_heavy_tab(self, di: DeviceIndex, slots: np.ndarray):
+        """Side table with one padded row per heavy bucket (depth > C0):
+        word 0 = true count, then TP (enc, mask-word | se) entry pairs
+        covering bucket entries [0, TP). The owning slots row's count word
+        is patched to min(cnt, 255) | (heavy_id + 1) << 8, so the probe
+        reaches the whole tail with ONE random single-row gather — no
+        row_start routing, and no consecutive-entry gather (consecutive
+        HBM rows measured ~5x slower than random single rows here).
+        Returns None (CSR fallback) when the id doesn't fit 24 bits or the
+        table would exceed HEAVY_TAB_CAP at a useful depth."""
+        counts = np.diff(di.row_start)
+        heavy = np.flatnonzero(counts > self.C0)
+        n_h = len(heavy)
+        if n_h == 0 or n_h >= (1 << 24) - 1:
+            return None
+        TP = min(int(di.max_bucket), TAIL_UNROLL)
+        while TP > 4 and n_h * (1 + 2 * TP) * 4 > self.HEAVY_TAB_CAP:
+            TP -= 1
+        if n_h * (1 + 2 * TP) * 4 > self.HEAVY_TAB_CAP:
+            return None
+        htab = np.zeros((n_h, 1 + 2 * TP), np.uint32)
+        htab[:, 0] = counts[heavy].astype(np.uint32)
+        starts = di.row_start[heavy]
+        ends = di.row_start[heavy + 1]
+        for j in range(TP):
+            pos = starts + j
+            valid = pos < ends
+            pv = np.where(valid, pos, 0)
+            htab[:, 1 + 2 * j] = np.where(valid, di.enc_v[pv], 0)
+            if self.W == 1:
+                aux = di.se_mask[di.se_v[pv]][:, 0]
+            else:
+                aux = di.se_v[pv].astype(np.uint32)
+            htab[:, 2 + 2 * j] = np.where(valid, aux, 0)
+        slots[heavy, 0] = (np.minimum(counts[heavy], 255).astype(np.uint32)
+                           | ((np.arange(n_h, dtype=np.uint32) + 1) << 8))
+        return jnp.asarray(htab)
 
     def _csr_arrays(self, dindex: DeviceIndex):
         enc_se = np.stack(
@@ -524,18 +556,22 @@ class QueryEngine:
 
     def _hybrid_core(self, slots_d, enc_se, row_start, mask_tab, sidx, hrow,
                      resident, res2, max_bucket: int, tier: int = 0,
-                     tail_pair=None):
+                     heavy_tab=None):
         """Shared hybrid probe body over pre-routed rows.
 
         sidx/hrow/resident/res2: [2, B, P]. Returns (hist [2B, S, X],
         minall [2B], overflow). Used by the single-device probe and, with
-        shard-local routing, by each shard under shard_map."""
+        shard-local routing, by each shard under shard_map (which passes
+        heavy_tab=None and takes the CSR tail)."""
         th, W, S, C0 = self.th, self.W, self.S, self.C0
         X = th + 1
         _, B, P = sidx.shape
         N = 2 * B
         d = slots_d[sidx]                                # [2, B, P, width]
-        cnt = jnp.where(resident, d[..., 0].astype(jnp.int32), 0)
+        word0 = d[..., 0].astype(jnp.int32)
+        # with a heavy table the count word packs cnt | (hid+1) << 8
+        cnt_c = word0 & 255 if heavy_tab is not None else word0
+        cnt = jnp.where(resident, cnt_c, 0)
         heavy = cnt > C0
         light = resident & jnp.logical_not(heavy)
         hist, minall = self._dense_epilogue(d, mask_tab, res2, light, B, P)
@@ -550,36 +586,54 @@ class QueryEngine:
             hf = heavy.reshape(Np)
             hidx, nheavy, blk_over = compact_mask_indices_strided(hf, K)
             overflow = (nheavy > K) | blk_over
-            # compacted indices are already ascending => seg sorted
+            # compacted indices are already ascending => seg sorted; the
+            # compaction emits only set lanes, so hidx < Np marks live
             seg = jnp.minimum(hidx // P, N - 1).astype(jnp.int32)
-            live = (hidx < Np) & hf[jnp.minimum(hidx, Np - 1)]
-            hurow = hrow.reshape(Np)[hidx]
-            hres = res2.reshape(N, P).reshape(Np)[hidx]
-            start = row_start[hurow]
-            hcnt = jnp.where(live, (row_start[hurow + 1] - start),
-                             0).astype(jnp.int32)
-            # tier A: one unrolled padded gather over the first TAIL_UNROLL
-            # entries of every heavy bucket — the while_loop's serialized
-            # per-iteration overhead dominated the probe at real bucket
-            # depths (max ~10 on winnowed indexes)
+            live = hidx < Np
+            safe_l = jnp.minimum(hidx, Np - 1)
+            hres = res2.reshape(N, P).reshape(Np)[safe_l]
             nk = max(enc_se.shape[0], 1)
-            MB = min(max_bucket, TAIL_UNROLL)
-            jj = jnp.arange(MB, dtype=jnp.int32)
-            idx = jnp.minimum(start[:, None] + jj[None, :], nk - 1)
-            if tail_pair is not None:
-                # (enc, mask) embedded side by side: one gather total
-                pair = tail_pair[idx]                    # [K, MB, 2]
-                msk = pair[..., 1:2]                     # [K, MB, 1]
+            start = None
+            if heavy_tab is not None:
+                # heavy-bucket table: one single-row gather per heavy lane
+                # fetches (count, first TP entries). Replaces the
+                # row_start/hurow routing gathers AND the [K, MB]
+                # consecutive-entry gather — consecutive rows hit HBM bank
+                # conflicts (~30 Mrows/s vs ~145 Mrows/s random here).
+                nh = heavy_tab.shape[0]
+                MB = (heavy_tab.shape[1] - 1) // 2
+                hid = jnp.clip((word0.reshape(Np)[safe_l] >> 8) - 1,
+                               0, nh - 1)
+                hrow_t = heavy_tab[hid]                  # [K, 1 + 2*MB]
+                hcnt = jnp.where(live, hrow_t[:, 0].astype(jnp.int32), 0)
+                penc = hrow_t[:, 1::2]                   # [K, MB]
+                aux = hrow_t[:, 2::2]                    # mask word | se
+                jj = jnp.arange(MB, dtype=jnp.int32)
+                hd = codec.hdist_lr32(penc, hres[:, None])
+                inb = jj[None, :] < jnp.minimum(hcnt, MB)[:, None]
+                match = inb & (hd <= th)
+                if W == 1:
+                    msk = jnp.where(match[..., None], aux[..., None],
+                                    jnp.uint32(0))       # [K, MB, 1]
+                else:
+                    sev = jnp.where(match, aux, 0).astype(jnp.int32)
+                    msk = mask_tab[sev]                  # [K, MB, W]
             else:
+                # CSR tail: route through row_start (sharded path, and the
+                # fallback when the heavy table exceeds its budget)
+                hurow = hrow.reshape(Np)[safe_l]
+                start = row_start[hurow]
+                hcnt = jnp.where(live, (row_start[hurow + 1] - start),
+                                 0).astype(jnp.int32)
+                MB = min(max_bucket, TAIL_UNROLL)
+                jj = jnp.arange(MB, dtype=jnp.int32)
+                idx = jnp.minimum(start[:, None] + jj[None, :], nk - 1)
                 pair = enc_se[idx]                       # [K, MB, 2]
-            hd = codec.hdist_lr32(pair[..., 0], hres[:, None])
-            inb = jj[None, :] < jnp.minimum(hcnt, MB)[:, None]
-            match = inb & (hd <= th)
-            if tail_pair is None:
+                hd = codec.hdist_lr32(pair[..., 0], hres[:, None])
+                inb = jj[None, :] < jnp.minimum(hcnt, MB)[:, None]
+                match = inb & (hd <= th)
                 sev = jnp.where(match, pair[..., 1], 0).astype(jnp.int32)
                 msk = mask_tab[sev]                      # [K, MB, W]
-            else:
-                msk = jnp.where(match[..., None], msk, jnp.uint32(0))
             Mm = []
             for x in range(X):
                 hitx = (match & (hd == x))[..., None]
@@ -591,7 +645,7 @@ class QueryEngine:
             Mm = jnp.stack(Mm)                           # [X, K, W]
             hgmin = jnp.min(jnp.where(match, hd, HD_SENTINEL), axis=1)
 
-            if max_bucket > TAIL_UNROLL:
+            if max_bucket > MB:
                 # tier B: ultra-deep buckets finish with the scan loop
                 from .bucket_scan import _scan_loop
 
@@ -599,12 +653,17 @@ class QueryEngine:
                 didx, ndeep = compact_mask_indices(deep, K2)
                 overflow = overflow | (ndeep > K2)
                 dsafe = jnp.minimum(didx, K - 1)
-                dlive = (didx < K) & deep[dsafe]
+                dlive = didx < K
+                if start is None:
+                    hurow_d = hrow.reshape(Np)[safe_l[dsafe]]
+                    start_d = row_start[hurow_d]
+                else:
+                    start_d = start[dsafe]
                 dcnt = jnp.where(dlive, hcnt[dsafe], 0)
                 Mm20 = jnp.zeros((X, K2, W), jnp.uint32)
                 gmin20 = jnp.full((K2,), HD_SENTINEL, jnp.int32)
                 hmax = jnp.minimum(jnp.max(dcnt), max_bucket)
-                Mm2, gmin2 = _scan_loop(enc_se, mask_tab, start[dsafe],
+                Mm2, gmin2 = _scan_loop(enc_se, mask_tab, start_d,
                                         dcnt, hres[dsafe], th, W, MB, hmax,
                                         Mm20, gmin20)
                 for x in range(X):
@@ -674,13 +733,13 @@ class QueryEngine:
         The dense row carries a count word and the first DENSE_SLOTS
         entries; probes hitting deeper buckets are excluded from the dense
         pass and rescanned at full depth through the CSR."""
-        slots_d, enc_se, row_start, row_ids, mask_tab, tail_pair = tables
+        slots_d, enc_se, row_start, row_ids, mask_tab, heavy_tab = tables
         rix2, res2, valid, onmers = self._strand_hashes(codes, lengths)
         urow, resident = self._urow(rix2, valid[None])   # [2, B, P]
         sidx, hrow, resident = self._route_rows(row_ids, urow, resident)
         hist, minall, overflow = self._hybrid_core(
             slots_d, enc_se, row_start, mask_tab, sidx, hrow, resident,
-            res2, self.di.max_bucket, tier, tail_pair)
+            res2, self.di.max_bucket, tier, heavy_tab)
         B = codes.shape[0]
         hist = hist.reshape(2, B, self.S, self.th + 1)
         minall = minall.reshape(2, B)
