@@ -319,9 +319,12 @@ class QueryEngine:
                 max(1, dindex.max_bucket), self.W, flavor="se")
             assert slots is not None, \
                 "bucket-row table exceeds the HBM cap; shard the index"
+            heavy_tab = None
+            if dindex.max_bucket > self.C0:
+                heavy_tab = self._build_heavy_tab(dindex, slots, aux="se")
             self._tables = (jnp.asarray(slots),) + csr[:3] + (
                 jnp.asarray(dindex.leaf_csr_off),
-                jnp.asarray(dindex.leaf_csr_slots))
+                jnp.asarray(dindex.leaf_csr_slots), heavy_tab)
             return
         slots, flavor = self._build_hybrid_table(dindex)
         if slots is not None:
@@ -340,7 +343,8 @@ class QueryEngine:
     # the bounded CSR scan loop.
     HEAVY_TAB_CAP = 512 << 20
 
-    def _build_heavy_tab(self, di: DeviceIndex, slots: np.ndarray):
+    def _build_heavy_tab(self, di: DeviceIndex, slots: np.ndarray,
+                         aux: str = "auto"):
         """Side table with one padded row per heavy bucket (depth > C0):
         word 0 = true count, then TP (enc, mask-word | se) entry pairs
         covering bucket entries [0, TP). The owning slots row's count word
@@ -364,16 +368,18 @@ class QueryEngine:
         htab[:, 0] = counts[heavy].astype(np.uint32)
         starts = di.row_start[heavy]
         ends = di.row_start[heavy + 1]
+        use_mask = (aux == "auto" and self.W == 1
+                    and di.se_mask is not None)
         for j in range(TP):
             pos = starts + j
             valid = pos < ends
             pv = np.where(valid, pos, 0)
             htab[:, 1 + 2 * j] = np.where(valid, di.enc_v[pv], 0)
-            if self.W == 1:
-                aux = di.se_mask[di.se_v[pv]][:, 0]
+            if use_mask:
+                av = di.se_mask[di.se_v[pv]][:, 0]
             else:
-                aux = di.se_v[pv].astype(np.uint32)
-            htab[:, 2 + 2 * j] = np.where(valid, aux, 0)
+                av = di.se_v[pv].astype(np.uint32)
+            htab[:, 2 + 2 * j] = np.where(valid, av, 0)
         slots[heavy, 0] = (np.minimum(counts[heavy], 255).astype(np.uint32)
                            | ((np.arange(n_h, dtype=np.uint32) + 1) << 8))
         return jnp.asarray(htab)
@@ -767,7 +773,8 @@ class QueryEngine:
         """Event-formulated probe (see event_probe.py): exact, O(S)-free."""
         from .event_probe import event_probe
 
-        slots_d, enc_se, row_start, row_ids, leaf_off, leaf_slots = tables
+        (slots_d, enc_se, row_start, row_ids, leaf_off, leaf_slots,
+         heavy_tab) = tables
         rix2, res2, valid, onmers = self._strand_hashes(codes, lengths)
         urow, resident = self._urow(rix2, valid[None])   # [2, B, P]
         sidx, hrow, resident = self._route_rows(row_ids, urow, resident)
@@ -776,7 +783,7 @@ class QueryEngine:
         hist, minall, ov = event_probe(
             slots_d, enc_se, row_start, leaf_off, leaf_slots,
             sidx, hrow, resident, res2, self.th, self.C0, self.S,
-            self.di.max_bucket, E, KH, CAP_L)
+            self.di.max_bucket, E, KH, CAP_L, heavy_tab=heavy_tab)
         hist = hist.reshape(2, B, self.S, self.th + 1)
         minall = minall.reshape(2, B)
         return (hist[0], hist[1], minall[0], minall[1], onmers, ov)
@@ -1075,8 +1082,8 @@ class QueryEngine:
         if getattr(self, "_event_lanes", False):
             from .event_probe import event_probe_lanes
 
-            slots_d, enc_se, row_start, row_ids, leaf_off, leaf_slots = \
-                tables
+            (slots_d, enc_se, row_start, row_ids, leaf_off, leaf_slots,
+             heavy_tab) = tables
             rix2, res2, valid, onmers = self._strand_hashes(codes, lengths)
             urow, resident = self._urow(rix2, valid[None])
             sidx, hrow, resident = self._route_rows(row_ids, urow, resident)
@@ -1086,7 +1093,7 @@ class QueryEngine:
             nb_lane, leaf_lane, hist_lanes, minall, ov = event_probe_lanes(
                 slots_d, enc_se, row_start, leaf_off, leaf_slots,
                 sidx, hrow, resident, res2, self.th, self.C0, self.S,
-                self.di.max_bucket, E, KH, CAP_L)
+                self.di.max_bucket, E, KH, CAP_L, heavy_tab=heavy_tab)
             minall = minall.reshape(2, B)
             K = B * self.S if lane_cap is None else min(B * self.S,
                                                         lane_cap)

@@ -45,7 +45,7 @@ def _shift_prev(x, fill):
 def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
                       sidx, hrow, resident, res2,
                       th: int, C0: int, S: int, max_bucket: int,
-                      E: int, KH: int, CAP_L: int):
+                      E: int, KH: int, CAP_L: int, heavy_tab=None):
     """Lane-form event probe for the single-device engine.
 
     Same semantics as event_probe (the sharded path keeps that one: its
@@ -72,11 +72,14 @@ def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
     N = 2 * B
     Np = N * P
     nk = max(enc_se.shape[0], 1)
-    from ..core.compact import compact_mask_indices
+    from ..core.compact import (compact_mask_indices,
+                                compact_mask_indices_strided)
 
     # ---------------------------------------------------------- light pass
     d = slots_d[sidx]                                    # [2, B, P, 1+2C0]
-    cnt = jnp.where(resident, d[..., 0].astype(jnp.int32), 0)
+    word0 = d[..., 0].astype(jnp.int32)
+    cnt_c = word0 & 255 if heavy_tab is not None else word0
+    cnt = jnp.where(resident, cnt_c, 0)
     heavy = cnt > C0
     light = resident & jnp.logical_not(heavy)
     enc = d[..., 1: 1 + C0]
@@ -93,23 +96,43 @@ def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
     ev_ok_parts = [lm.reshape(ML)]
     if max_bucket > C0:
         hf = heavy.reshape(Np)
-        hidx, nheavy = compact_mask_indices(hf, KH)
-        overflow = nheavy > KH
-        live = (hidx < Np) & hf[jnp.minimum(hidx, Np - 1)]
+        hidx, nheavy, blk_over = compact_mask_indices_strided(hf, KH)
+        overflow = (nheavy > KH) | blk_over
+        # the compaction emits only set lanes; hidx < Np marks live
+        live = hidx < Np
         hsafe = jnp.minimum(hidx, Np - 1)
-        hurow = hrow.reshape(Np)[hsafe]
         hres = res2.reshape(Np)[hsafe]
-        start = row_start[hurow]
-        hcnt = jnp.where(live, (row_start[hurow + 1] - start),
-                         0).astype(jnp.int32)
-        MB = min(max_bucket, EVENT_TAIL_UNROLL)
-        jj = jnp.arange(MB, dtype=jnp.int32)
-        eidx = jnp.minimum(start[:, None] + jj[None, :], nk - 1)
-        pair_h = enc_se[eidx]                            # [KH, MB, 2]
-        hd_h = codec.hdist_lr32(pair_h[..., 0], hres[:, None])
-        inb = jj[None, :] < jnp.minimum(hcnt, MB)[:, None]
-        match_h = inb & (hd_h <= th)
-        se_h = jnp.where(match_h, pair_h[..., 1], 0).astype(jnp.int32)
+        start = None
+        if heavy_tab is not None:
+            # heavy-bucket side table (see engine._build_heavy_tab): one
+            # random single-row gather per heavy lane fetches the true
+            # count + first TP (enc, se) entries, replacing the
+            # row_start/hurow routing gathers and the [KH, MB]
+            # consecutive-entry gather (consecutive HBM rows run ~5x
+            # slower than random single rows on v5e)
+            nh = heavy_tab.shape[0]
+            MB = (heavy_tab.shape[1] - 1) // 2
+            hid = jnp.clip((word0.reshape(Np)[hsafe] >> 8) - 1, 0, nh - 1)
+            hrow_t = heavy_tab[hid]                      # [KH, 1 + 2*MB]
+            hcnt = jnp.where(live, hrow_t[:, 0].astype(jnp.int32), 0)
+            jj = jnp.arange(MB, dtype=jnp.int32)
+            hd_h = codec.hdist_lr32(hrow_t[:, 1::2], hres[:, None])
+            inb = jj[None, :] < jnp.minimum(hcnt, MB)[:, None]
+            match_h = inb & (hd_h <= th)
+            se_h = jnp.where(match_h, hrow_t[:, 2::2], 0).astype(jnp.int32)
+        else:
+            hurow = hrow.reshape(Np)[hsafe]
+            start = row_start[hurow]
+            hcnt = jnp.where(live, (row_start[hurow + 1] - start),
+                             0).astype(jnp.int32)
+            MB = min(max_bucket, EVENT_TAIL_UNROLL)
+            jj = jnp.arange(MB, dtype=jnp.int32)
+            eidx = jnp.minimum(start[:, None] + jj[None, :], nk - 1)
+            pair_h = enc_se[eidx]                        # [KH, MB, 2]
+            hd_h = codec.hdist_lr32(pair_h[..., 0], hres[:, None])
+            inb = jj[None, :] < jnp.minimum(hcnt, MB)[:, None]
+            match_h = inb & (hd_h <= th)
+            se_h = jnp.where(match_h, pair_h[..., 1], 0).astype(jnp.int32)
         hgmin = jnp.min(jnp.where(match_h, hd_h, HD_SENTINEL), axis=1)
         if max_bucket > MB:
             # ultra-deep remainder: E-slot insertion loop from j0 = MB
@@ -118,9 +141,12 @@ def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
             didx, ndeep = compact_mask_indices(deep, K2)
             overflow = overflow | (ndeep > K2)
             dsafe = jnp.minimum(didx, KH - 1)
-            dlive = (didx < KH) & deep[dsafe]
+            dlive = didx < KH
             dcnt = jnp.where(dlive, hcnt[dsafe], 0)
-            dstart = start[dsafe]
+            if start is None:
+                dstart = row_start[hrow.reshape(Np)[hsafe[dsafe]]]
+            else:
+                dstart = start[dsafe]
             dres = hres[dsafe]
             je = jax.lax.broadcasted_iota(jnp.int32, (K2, E), 1)
 
@@ -160,8 +186,8 @@ def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
     # --------------------------- compact matched events, then gather fields
     ev_ok = jnp.concatenate(ev_ok_parts)
     Mtot = ev_ok.shape[0]
-    eidx_c, nev = compact_mask_indices(ev_ok, CAP_L)
-    overflow = overflow | (nev > CAP_L)
+    eidx_c, nev, ev_blk_over = compact_mask_indices_strided(ev_ok, CAP_L)
+    overflow = overflow | (nev > CAP_L) | ev_blk_over
     ev_valid = eidx_c < Mtot
     esafe = jnp.minimum(eidx_c, Mtot - 1)
 
@@ -258,7 +284,7 @@ def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
 def event_probe(slots_d, enc_se, row_start, leaf_off, leaf_slots,
                 sidx, hrow, resident, res2,
                 th: int, C0: int, S: int, max_bucket: int,
-                E: int, KH: int, CAP_L: int):
+                E: int, KH: int, CAP_L: int, heavy_tab=None):
     """Probe + color expansion + dedupe. sidx/hrow/resident/res2: [2, B, P].
 
     slots_d: 'se'-flavor bucket-row table [nrows, 1 + 2*C0]
@@ -273,7 +299,11 @@ def event_probe(slots_d, enc_se, row_start, leaf_off, leaf_slots,
 
     # ---------------------------------------------------------- light pass
     d = slots_d[sidx]                                    # [2, B, P, 1+2C0]
-    cnt = jnp.where(resident, d[..., 0].astype(jnp.int32), 0)
+    word0 = d[..., 0].astype(jnp.int32)
+    # single-device tables pack cnt | (hid+1) << 8 into the count word
+    # (engine._build_heavy_tab); this dense form only needs the count
+    cnt_c = word0 & 255 if heavy_tab is not None else word0
+    cnt = jnp.where(resident, cnt_c, 0)
     heavy = cnt > C0
     light = resident & jnp.logical_not(heavy)
     enc = d[..., 1: 1 + C0]
