@@ -45,7 +45,8 @@ def _shift_prev(x, fill):
 def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
                       sidx, hrow, resident, res2,
                       th: int, C0: int, S: int, max_bucket: int,
-                      E: int, KH: int, CAP_L: int, heavy_tab=None):
+                      E: int, KH: int, CAP_L: int, heavy_tab=None,
+                      KR=None):
     """Lane-form event probe for the single-device engine.
 
     Same semantics as event_probe (the sharded path keeps that one: its
@@ -53,16 +54,22 @@ def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
     compacted lane form — no [N, S, X] histogram is ever materialised, so
     memory and compute are independent of the genome count S:
 
-      1. light pass over the first C0 dense slots; heavy buckets rescan
-         through ONE unrolled padded gather of their first
-         EVENT_TAIL_UNROLL entries (the while_loop's serialized iterations
-         dominated), with only deeper buckets taking the E-slot loop;
+      0. probe lanes COMPACT to the resident set first (KR slots): with
+         fractional m/r indexes half the lanes are non-resident, and the
+         slots gather is the single largest cost — (sidx, res, hrow) pack
+         into one 3-word row so the compacted fields cost ONE row gather;
+      1. light pass over the first C0 dense slots; heavy buckets resolve
+         through the heavy-bucket side table (one random row gather, see
+         engine._build_heavy_tab) or the CSR unrolled gather, with only
+         ultra-deep buckets taking the E-slot loop;
       2. matched (probe-lane, se, hd) events COMPACT to CAP_L slots before
-         any expansion machinery runs (the raw candidate grid is ~20x
-         larger than the matched set);
-      3. color -> leaf expansion and the (strand-read, leaf, pos) dedupe
-         sort as in event_probe;
-      4. returns per-(strand-read, leaf) lanes:
+         any expansion machinery runs, carrying packed se*8+hd payloads
+         (one gather per source region instead of two);
+      3. color -> leaf expansion via the sorted-marks trick, fetching
+         (start, leaf-offset, lane*8+hd) as ONE packed row gather;
+      4. the (strand-read, leaf, pos) dedupe sort; minall falls out of the
+         sorted events as a segment-min (no separate plane reduction);
+      5. returns per-(strand-read, leaf) lanes:
          (nb_lane [CAP_L] int32 with sentinel N for empty,
           leaf_lane [CAP_L] int32, hist_lanes [CAP_L, X] int32,
           minall [N] int32, overflow bool).
@@ -75,44 +82,60 @@ def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
     from ..core.compact import (compact_mask_indices,
                                 compact_mask_indices_strided)
 
+    overflow = jnp.bool_(False)
+    # ------------------------------------------ resident-lane compaction
+    if KR is not None and KR < Np:
+        fields = jnp.stack(
+            [sidx.reshape(Np).astype(jnp.uint32), res2.reshape(Np),
+             hrow.reshape(Np).astype(jnp.uint32)], axis=1)  # [Np, 3]
+        ridx, nres, r_over = compact_mask_indices_strided(
+            resident.reshape(Np), KR)
+        overflow = (nres > KR) | r_over
+        res_live = ridx < Np
+        lane_of = jnp.minimum(ridx, Np - 1)              # original lane ids
+        fr = fields[lane_of]                             # [KR, 3]
+        sidx_c = fr[:, 0].astype(jnp.int32)
+        res_c = fr[:, 1]
+        hrow_c = fr[:, 2].astype(jnp.int32)
+        NL = KR
+    else:
+        sidx_c = sidx.reshape(Np)
+        res_c = res2.reshape(Np)
+        hrow_c = hrow.reshape(Np)
+        res_live = resident.reshape(Np)
+        lane_of = jax.lax.iota(jnp.int32, Np)
+        NL = Np
+
     # ---------------------------------------------------------- light pass
-    d = slots_d[sidx]                                    # [2, B, P, 1+2C0]
-    word0 = d[..., 0].astype(jnp.int32)
+    d = slots_d[sidx_c]                                  # [NL, 1+2C0]
+    word0 = d[:, 0].astype(jnp.int32)
     cnt_c = word0 & 255 if heavy_tab is not None else word0
-    cnt = jnp.where(resident, cnt_c, 0)
+    cnt = jnp.where(res_live, cnt_c, 0)
     heavy = cnt > C0
-    light = resident & jnp.logical_not(heavy)
-    enc = d[..., 1: 1 + C0]
-    se_l = d[..., 1 + C0: 1 + 2 * C0].astype(jnp.int32)
-    hd_l = codec.hdist_lr32(enc, res2[..., None])        # [2, B, P, C0]
-    jc = jax.lax.broadcasted_iota(jnp.int32, hd_l.shape, 3)
-    lm = light[..., None] & (jc < cnt[..., None]) & (hd_l <= th)
-    gmin_l = jnp.min(jnp.where(lm, hd_l, HD_SENTINEL), axis=-1)
-    minall = jnp.min(gmin_l, axis=-1).reshape(N)         # [N]
+    light = res_live & jnp.logical_not(heavy)
+    enc = d[:, 1: 1 + C0]
+    se_l = d[:, 1 + C0: 1 + 2 * C0].astype(jnp.int32)
+    hd_l = codec.hdist_lr32(enc, res_c[:, None])         # [NL, C0]
+    jc = jax.lax.broadcasted_iota(jnp.int32, hd_l.shape, 1)
+    lm = light[:, None] & (jc < cnt[:, None]) & (hd_l <= th)
+    sehd_l = jnp.where(lm, se_l * 8 + hd_l, 0)           # packed payload
 
     # ----------------------------------------------------------- heavy tail
-    overflow = jnp.bool_(False)
-    ML = Np * C0
+    ML = NL * C0
     ev_ok_parts = [lm.reshape(ML)]
     if max_bucket > C0:
-        hf = heavy.reshape(Np)
-        hidx, nheavy, blk_over = compact_mask_indices_strided(hf, KH)
-        overflow = (nheavy > KH) | blk_over
-        # the compaction emits only set lanes; hidx < Np marks live
-        live = hidx < Np
-        hsafe = jnp.minimum(hidx, Np - 1)
-        hres = res2.reshape(Np)[hsafe]
+        hidx, nheavy, blk_over = compact_mask_indices_strided(heavy, KH)
+        overflow = overflow | (nheavy > KH) | blk_over
+        # the compaction emits only set lanes; hidx < NL marks live
+        live = hidx < NL
+        hsafe = jnp.minimum(hidx, NL - 1)
+        hres = res_c[hsafe]
+        hlane = lane_of[hsafe]                           # original lane ids
         start = None
         if heavy_tab is not None:
-            # heavy-bucket side table (see engine._build_heavy_tab): one
-            # random single-row gather per heavy lane fetches the true
-            # count + first TP (enc, se) entries, replacing the
-            # row_start/hurow routing gathers and the [KH, MB]
-            # consecutive-entry gather (consecutive HBM rows run ~5x
-            # slower than random single rows on v5e)
             nh = heavy_tab.shape[0]
             MB = (heavy_tab.shape[1] - 1) // 2
-            hid = jnp.clip((word0.reshape(Np)[hsafe] >> 8) - 1, 0, nh - 1)
+            hid = jnp.clip((word0[hsafe] >> 8) - 1, 0, nh - 1)
             hrow_t = heavy_tab[hid]                      # [KH, 1 + 2*MB]
             hcnt = jnp.where(live, hrow_t[:, 0].astype(jnp.int32), 0)
             jj = jnp.arange(MB, dtype=jnp.int32)
@@ -121,7 +144,7 @@ def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
             match_h = inb & (hd_h <= th)
             se_h = jnp.where(match_h, hrow_t[:, 2::2], 0).astype(jnp.int32)
         else:
-            hurow = hrow.reshape(Np)[hsafe]
+            hurow = hrow_c[hsafe]
             start = row_start[hurow]
             hcnt = jnp.where(live, (row_start[hurow + 1] - start),
                              0).astype(jnp.int32)
@@ -133,7 +156,7 @@ def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
             inb = jj[None, :] < jnp.minimum(hcnt, MB)[:, None]
             match_h = inb & (hd_h <= th)
             se_h = jnp.where(match_h, pair_h[..., 1], 0).astype(jnp.int32)
-        hgmin = jnp.min(jnp.where(match_h, hd_h, HD_SENTINEL), axis=1)
+        sehd_h = jnp.where(match_h, se_h * 8 + hd_h, 0)
         if max_bucket > MB:
             # ultra-deep remainder: E-slot insertion loop from j0 = MB
             K2 = max(KH // 8, 256)
@@ -144,40 +167,33 @@ def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
             dlive = didx < KH
             dcnt = jnp.where(dlive, hcnt[dsafe], 0)
             if start is None:
-                dstart = row_start[hrow.reshape(Np)[hsafe[dsafe]]]
+                dstart = row_start[hrow_c[hsafe[dsafe]]]
             else:
                 dstart = start[dsafe]
             dres = hres[dsafe]
             je = jax.lax.broadcasted_iota(jnp.int32, (K2, E), 1)
 
             def body(carry):
-                j, bse, bhd, nm, gm = carry
+                j, bsehd, nm = carry
                 ii = jnp.minimum(dstart + j, nk - 1)
                 pr = enc_se[ii]
                 hdd = codec.hdist_lr32(pr[..., 0], dres)
                 m = (j < dcnt) & (hdd <= th)
-                gm = jnp.where(m, jnp.minimum(gm, hdd), gm)
                 put = m[:, None] & (nm[:, None] == je)
-                bse = jnp.where(put, pr[..., 1].astype(jnp.int32)[:, None],
-                                bse)
-                bhd = jnp.where(put, hdd[:, None], bhd)
+                bsehd = jnp.where(
+                    put, (pr[..., 1].astype(jnp.int32) * 8 + hdd)[:, None],
+                    bsehd)
                 nm = nm + m.astype(jnp.int32)
-                return j + 1, bse, bhd, nm, gm
+                return j + 1, bsehd, nm
 
             hmax = jnp.minimum(jnp.max(dcnt), max_bucket)
-            _, bse, bhd, nm, gm2 = jax.lax.while_loop(
+            _, bsehd, nm = jax.lax.while_loop(
                 lambda c: c[0] < hmax, body,
                 (jnp.int32(MB), jnp.zeros((K2, E), jnp.int32),
-                 jnp.zeros((K2, E), jnp.int32), jnp.zeros((K2,), jnp.int32),
-                 jnp.full((K2,), HD_SENTINEL, jnp.int32)))
+                 jnp.zeros((K2,), jnp.int32)))
             overflow = overflow | jnp.any(nm > E)
-            hgmin = hgmin.at[dsafe].min(
-                jnp.where(dlive, gm2, HD_SENTINEL), mode="drop")
-        nb_h = (hsafe // P).astype(jnp.int32)
-        minall = minall.at[jnp.where(live, nb_h, N)].min(
-            hgmin, mode="drop")
         MH = KH * MB
-        ev_ok_parts.append((match_h & live[:, None]).reshape(MH))
+        ev_ok_parts.append(match_h.reshape(MH))
         if max_bucket > MB:
             MD = K2 * E
             hv = dlive[:, None] & (je < jnp.minimum(nm, E)[:, None])
@@ -191,40 +207,40 @@ def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
     ev_valid = eidx_c < Mtot
     esafe = jnp.minimum(eidx_c, Mtot - 1)
 
-    # piecewise source decode: light block, heavy block, deep block
-    lane_l = esafe // C0
-    se_flat_l = se_l.reshape(ML)
-    hd_flat_l = hd_l.reshape(ML)
+    # piecewise source decode: light block, heavy block, deep block; each
+    # region contributes one packed se*8+hd gather plus its lane decode
     in_light = esafe < ML
-    ev_lane = jnp.where(in_light, lane_l, 0)
-    ev_se = jnp.where(in_light, se_flat_l[jnp.minimum(esafe, ML - 1)], 0)
-    ev_hd = jnp.where(in_light, hd_flat_l[jnp.minimum(esafe, ML - 1)], 0)
+    lsafe = jnp.minimum(esafe, ML - 1)
+    ev_sehd = jnp.where(in_light, sehd_l.reshape(ML)[lsafe], 0)
+    ev_lane = jnp.where(in_light, lane_of[lsafe // C0], 0)
     if max_bucket > C0:
         hoff = esafe - ML
         in_heavy = (esafe >= ML) & (hoff < MH)
         hsafe2 = jnp.clip(hoff, 0, MH - 1)
         klane = hsafe2 // MB
-        ev_lane = jnp.where(in_heavy,
-                            jnp.minimum(hidx[klane], Np - 1).astype(jnp.int32),
-                            ev_lane)
-        ev_se = jnp.where(in_heavy, se_h.reshape(MH)[hsafe2], ev_se)
-        ev_hd = jnp.where(in_heavy, hd_h.reshape(MH)[hsafe2], ev_hd)
+        ev_sehd = jnp.where(in_heavy, sehd_h.reshape(MH)[hsafe2], ev_sehd)
+        ev_lane = jnp.where(in_heavy, hlane[klane], ev_lane)
         if max_bucket > MB:
             doff = esafe - ML - MH
             in_deep = doff >= 0
             dsafe2 = jnp.clip(doff, 0, MD - 1)
             k2lane = dsafe2 // E
-            ev_lane = jnp.where(
-                in_deep,
-                jnp.minimum(hidx[jnp.minimum(dsafe[k2lane], KH - 1)],
-                            Np - 1).astype(jnp.int32), ev_lane)
-            ev_se = jnp.where(in_deep, bse.reshape(MD)[dsafe2], ev_se)
-            ev_hd = jnp.where(in_deep, bhd.reshape(MD)[dsafe2], ev_hd)
-    ev_ok_c = ev_valid
+            ev_sehd = jnp.where(in_deep, bsehd.reshape(MD)[dsafe2],
+                                ev_sehd)
+            ev_lane = jnp.where(in_deep,
+                                hlane[jnp.minimum(dsafe[k2lane], KH - 1)],
+                                ev_lane)
+    ev_sehd = jnp.where(ev_valid, ev_sehd, 0)
 
     # --------------------------------------------- color -> leaf expansion
-    se_ok = jnp.where(ev_ok_c, ev_se, 0).astype(jnp.int64)
-    cards = jnp.where(ev_ok_c, leaf_off[se_ok + 1] - leaf_off[se_ok], 0)
+    # Each event e owns output slots [cum[e]-cards[e], cum[e]); the owner
+    # of slot t is recovered with one mark scatter + cumsum. The three
+    # per-event fields the expansion needs (start slot, leaf-CSR offset,
+    # lane*8+hd) ride in ONE packed row so the per-slot fetch is a single
+    # [CAP_L, 3] row gather.
+    se_ok = (ev_sehd >> 3).astype(jnp.int64)
+    offs = leaf_off[se_ok]
+    cards = jnp.where(ev_valid, leaf_off[se_ok + 1] - offs, 0)
     cum = jnp.cumsum(cards)
     T = cum[-1]
     overflow = overflow | (T > CAP_L)
@@ -235,14 +251,18 @@ def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
     evc = jnp.maximum(jnp.cumsum(marks) - 1, 0)
     t = jnp.arange(CAP_L, dtype=jnp.int64)
     tv = t < jnp.minimum(T, CAP_L)
-    base = starts[evc]
-    lidx = leaf_off[se_ok[evc]] + (t - base)
+    lanehd = ev_lane * 8 + (ev_sehd & 7)
+    trio = jnp.stack([starts.astype(jnp.int32),
+                      (offs - starts).astype(jnp.int32), lanehd], axis=1)
+    tr = trio[evc]                                       # [CAP_L, 3]
+    base = tr[:, 0].astype(jnp.int64)
+    lidx = tr[:, 1].astype(jnp.int64) + t
     lidx = jnp.clip(lidx, 0, max(leaf_slots.shape[0] - 1, 0))
-    leaf = leaf_slots[lidx].astype(jnp.int32)            # [CAP_L]
-    lane_t = ev_lane[evc]
+    leaf = jnp.where(tv, leaf_slots[lidx].astype(jnp.int32), 0)
+    lane_t = tr[:, 2] >> 3
+    hd_t = tr[:, 2] & 7
     nb = lane_t // P
     p = lane_t - nb * P
-    hd_t = ev_hd[evc]
 
     # ------------------------------------------------- sort + dedupe + hist
     sbits = max(S - 1, 1).bit_length()
@@ -266,6 +286,13 @@ def event_probe_lanes(slots_d, enc_se, row_start, leaf_off, leaf_slots,
     lane_id = jnp.maximum(lane_id, 0)
 
     hd_s = k3s & 7
+    # minall falls out of the sorted events: every match is an event (or
+    # the batch re-runs on overflow), so the per-strand-read minimum hd is
+    # one sorted segment-min
+    minall = jnp.minimum(jax.ops.segment_min(
+        jnp.where(valid_s, hd_s, HD_SENTINEL),
+        jnp.minimum(k1s, N), num_segments=N + 1,
+        indices_are_sorted=True)[:N], HD_SENTINEL)
     onehot = (hd_s[:, None] == jnp.arange(X, dtype=jnp.int32)[None, :])
     contrib = (onehot & first[:, None]).astype(jnp.int32)
     hist_lanes = jax.ops.segment_sum(contrib, lane_id, num_segments=CAP_L,

@@ -116,7 +116,10 @@ def test_many_genome_world(big_world):
     reads = worldgen.sample_reads(rng, genomes, n=6, rlen=120, mut=0.04)
     engine = QueryEngine(di, hdist_th=4)
     assert engine.mode == "event"
-    assert engine.suggested_batch_reads() < (1 << 30) // (128 * 300)
+    # place batches still scale down with the genome count (dense stage-3
+    # state); lane-form dist batches are lane-bounded and only capped
+    assert engine.suggested_batch_reads(place=True) < (1 << 30) // (128 * 300)
+    assert engine.suggested_batch_reads() <= 32768
     codes, lengths = pad_codes_batch([seq_to_codes(s) for _, s in reads])
     lr = engine.run_leaf_stage(codes, lengths)
 
