@@ -212,7 +212,7 @@ def dist_throughput(engine, codes, batch, n_batches, label="", repeats=3):
     return _report_runs(label, batch * n_batches, rates)
 
 
-def place_throughput(name, n_batches=6, batch=4096, repeats=3):
+def place_throughput(name, n_batches=8, batch=None, repeats=3):
     """Full place pipeline: fused device step (probe + stage2 + tree
     aggregation), pipelined fetch, host chi-square + jplace emission —
     the same work run_place does per steady-state batch, measured after
@@ -232,6 +232,9 @@ def place_throughput(name, n_batches=6, batch=4096, repeats=3):
     built = artifact.load_native(_cache_dir(name))
     di = DeviceIndex.from_built(built)
     engine = QueryEngine(di, hdist_th=4)
+    if batch is None:
+        # the production place driver's batch sizing (run_place)
+        batch = min(16384, engine.suggested_batch_reads(place=True))
     pv = di.placement_view(None)
     cfg = PlaceConfig()
     agg = PlaceAggregator(engine, pv, cfg)
@@ -358,7 +361,7 @@ def main():
         print(f"[bench] place bench failed: {e}", file=sys.stderr)
     try:
         if time_left() > 350:
-            v, med = place_throughput("1k", n_batches=4)
+            v, med = place_throughput("1k", n_batches=8)
             extras["place_1k_reads_per_s"] = round(v, 1)
             extras["place_1k_reads_per_s_median"] = round(med, 1)
     except Exception as e:  # noqa: BLE001

@@ -348,6 +348,8 @@ def brent_on_mask(llh_fast, A, Bx, uc, rho, mask,
 
     def make_compact(Kb):
         def compact(_):
+            from .ff64 import scatter_set_f64
+
             idx = idx_all[:Kb]
             a = Af[idx]
             b = Bf[idx]
@@ -355,8 +357,11 @@ def brent_on_mask(llh_fast, A, Bx, uc, rho, mask,
             r = rhof[idx]
             d, v = brent_find_minima(lambda dd: llh_fast(dd, a, b, u, r),
                                      (Kb,))
-            D = jnp.zeros((N,), F).at[idx].set(d, mode="drop")
-            V = jnp.zeros((N,), F).at[idx].set(v, mode="drop")
+            # float-float pair scatters: emulated-f64 scatters cost ~4.5 ms
+            # each at these lane counts
+            zero = jnp.zeros((N,), F)
+            D = scatter_set_f64(zero, idx, d, guard_fill=False)
+            V = scatter_set_f64(zero, idx, v, guard_fill=False)
             return D, V
         return compact
 

@@ -1150,9 +1150,16 @@ class QueryEngine:
         X = self.th + 1
         idx = L["idx"]
 
+        from ..core.ff64 import scatter_set_f64
+
         def scat(init, val):
-            return init.at[idx].set(val, mode="drop").reshape(
-                (B, S) + val.shape[1:])
+            # f64 lanes go through the float-float pair scatter: an
+            # emulated-f64 scatter cost ~9 ms per array at stage-2 scale
+            if val.dtype == F and val.ndim == 1:
+                out = scatter_set_f64(init, idx, val)
+            else:
+                out = init.at[idx].set(val, mode="drop")
+            return out.reshape((B, S) + val.shape[1:])
 
         present = scat(jnp.zeros((BS,), bool), L["present_l"])
         hist_f = scat(jnp.zeros((BS, X), jnp.int32), L["hist_f"])

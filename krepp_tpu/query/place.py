@@ -47,6 +47,24 @@ class PlaceConfig:
     emit_slice: Optional[tuple] = None
 
 
+
+def _w_einsum(spec, W, x):
+    """Damping-weight einsum W (f64) x integer-valued counts.
+
+    On TPU an f64 einsum lowers to an emulated double-float gemm loop
+    (~10 ms per call at place shapes); two native f32 MXU passes over the
+    float-float halves of W recover ~1e-7 relative accuracy — far below
+    the 5-decimal output grid — while the counts (<= a few hundred) are
+    exact f32. CPU keeps the plain f64 contraction (oracle parity)."""
+    if jax.default_backend() == "cpu":
+        return jnp.einsum(spec, W, x)
+    W_hi = W.astype(jnp.float32)
+    W_lo = (W - W_hi.astype(F)).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    hi = jnp.einsum(spec, W_hi, xf, preferred_element_type=jnp.float32)
+    lo = jnp.einsum(spec, W_lo, xf, preferred_element_type=jnp.float32)
+    return hi.astype(F) + lo.astype(F)
+
 class PlaceAggregator:
     """Stage 3: leaf minfos -> per-placement-node stats (jitted).
 
@@ -128,9 +146,13 @@ class PlaceAggregator:
         k = self.engine.lsh.k
         W = self._W
         p = present.astype(F)                                  # [B, S]
-        histW = jnp.einsum("qs,bsx->bqx", W, hist.astype(F) * p[..., None])
-        matchW = jnp.einsum("qs,bs->bq", W, match.astype(F) * p)
-        support = jnp.einsum("qs,bs->bq", self._Wpos.astype(F), p) > 0
+        histW = _w_einsum("qs,bsx->bqx", W, hist.astype(F) * p[..., None])
+        matchW = _w_einsum("qs,bs->bq", W, match.astype(F) * p)
+        # boolean support counts are <= S: exact in one f32 MXU pass
+        # (an f64 einsum lowers to an emulated double-float gemm loop)
+        support = jnp.einsum("qs,bs->bq", self._Wpos.astype(jnp.float32),
+                             p.astype(jnp.float32),
+                             preferred_element_type=jnp.float32) > 0
         rhoW = jnp.max(
             jnp.where(self._Wpos[None, :, :] & present[:, None, :],
                       self._rho_slot[None, None, :], 0.0), axis=2)
@@ -154,7 +176,8 @@ class PlaceAggregator:
         need = support & jnp.logical_not(isl)
         xs = jnp.arange(hist_q.shape[-1], dtype=F)
         A_q = jnp.sum(hist_q, axis=-1)
-        Bx_q = jnp.einsum("bqx,x->bq", hist_q, xs)
+        # mul+sum, not einsum: an f64 dot lowers to an emulated gemm loop
+        Bx_q = jnp.sum(hist_q * xs[None, None, :], axis=-1)
         d_opt, v_opt = brent_on_mask(self._llh_fast, A_q, Bx_q, uc_q, rho_q,
                                      need)
         d_q = jnp.where(isl, leaf_d, d_opt)
@@ -206,10 +229,14 @@ class PlaceAggregator:
         # ---- dense ancestor aggregation (the _agg_impl einsums)
         W = self._W
         p = present.astype(F)                                  # [B, S]
-        histW = jnp.einsum("qs,bsx->bqx", W,
-                           hist_f.astype(F) * p[..., None])
-        matchW = jnp.einsum("qs,bs->bq", W, mc_f.astype(F) * p)
-        support = jnp.einsum("qs,bs->bq", self._Wpos.astype(F), p) > 0
+        histW = _w_einsum("qs,bsx->bqx", W,
+                          hist_f.astype(F) * p[..., None])
+        matchW = _w_einsum("qs,bs->bq", W, mc_f.astype(F) * p)
+        # boolean support counts are <= S: exact in one f32 MXU pass
+        # (an f64 einsum lowers to an emulated double-float gemm loop)
+        support = jnp.einsum("qs,bs->bq", self._Wpos.astype(jnp.float32),
+                             p.astype(jnp.float32),
+                             preferred_element_type=jnp.float32) > 0
         rhoW = jnp.max(
             jnp.where(self._Wpos[None, :, :] & present[:, None, :],
                       self._rho_slot[None, None, :], 0.0), axis=2)
@@ -246,7 +273,8 @@ class PlaceAggregator:
         c_hist = hist_q.reshape(M, X)[csafe]
         A_c = jnp.sum(c_hist, axis=1)
         xs = jnp.arange(X, dtype=F)
-        Bx_c = jnp.einsum("kx,x->k", c_hist, xs)
+        # mul+sum, not einsum: an f64 dot lowers to an emulated gemm loop
+        Bx_c = jnp.sum(c_hist * xs[None, :], axis=1)
         c_isl = self._is_leaf_q[csafe % Qp]
         d_opt, v_opt = brent_on_mask(
             self._llh_fast, A_c, Bx_c, uc_q.reshape(M)[csafe],
@@ -386,7 +414,8 @@ class PlaceAggregator:
         c_hist = hist_q[csafe]
         A_c = jnp.sum(c_hist, axis=1)
         xs = jnp.arange(X, dtype=F)
-        Bx_c = jnp.einsum("kx,x->k", c_hist, xs)
+        # mul+sum, not einsum: an f64 dot lowers to an emulated gemm loop
+        Bx_c = jnp.sum(c_hist * xs[None, :], axis=1)
         d_opt, v_opt = brent_on_mask(
             self._llh_fast, A_c, Bx_c, uc_q[csafe], rho_q[csafe],
             jnp.logical_not(isl[csafe]) & sup[csafe])
@@ -643,13 +672,32 @@ def _report_batch(lr: LeafResults, n_pres: np.ndarray, names: List[str],
         out.write("".join(np.concatenate([srows, crows])[order].tolist()))
         return has_previous
 
-    # jplace: vectorized row strings, per-read nesting over emitted reads
-    srows = _jplace_rows_bulk(qflat, s_q, s_d, s_v, np.ones(len(sb)))
-    crows = _jplace_rows_bulk(qflat, cq, cd, cv, cw)
+    # jplace: the C bulk emitter renders the whole batch fragment (the
+    # Python object-string assembly below costs ~10 us/read and dominated
+    # the pipelined place driver's host side)
     starts = np.searchsorted(cb, np.arange(B))
     ends = np.searchsorted(cb, np.arange(B) + 1)
     s_of = np.full(B, -1, np.int64)
     s_of[sb] = np.arange(len(sb))
+    from ..io import native_report
+
+    kind = np.zeros(B, np.uint8)
+    kind[active & single] = 1
+    if cfg.multi:
+        kind[active & ~single] = 2
+    else:
+        kind[active & ~single & (ends > starts)] = 2
+    res = native_report.jplace_emit(
+        names, kind, s_of, starts, ends, s_q, lr.closest_d[sb],
+        lr.v_closest[sb], cq, cd, cv, cw, qflat.blen, cfg.multi,
+        has_previous)
+    if res is not None:
+        frag, emitted = res
+        out.write(frag)
+        return has_previous or emitted > 0
+
+    srows = _jplace_rows_bulk(qflat, s_q, s_d, s_v, np.ones(len(sb)))
+    crows = _jplace_rows_bulk(qflat, cq, cd, cv, cw)
     parts: List[str] = []
     for b in np.flatnonzero(active):
         if single[b]:
