@@ -60,7 +60,14 @@ class ShardedQueryEngine(QueryEngine):
 
     def _init_tables(self, dindex: DeviceIndex) -> None:
         """Shard-placed arrays replace the single-device tables."""
-        self._event_lanes = False   # per-shard dense histograms psum
+        import os
+
+        # many-genome indexes keep the LANE form across shards: per-shard
+        # event lanes all_gather over `shard` and join, so memory and
+        # collective volume stay independent of S (VERDICT r04 #5; the
+        # dense [B, S, X] psum fallback remains behind KREPP_SHARD_DENSE)
+        self._event_lanes = (self._use_event
+                             and not os.environ.get("KREPP_SHARD_DENSE"))
         if self._use_event:
             # many-genome index: per-shard event probe over 'se'-flavor
             # bucket-row shards + a replicated leaf-slot CSR; per-shard
@@ -282,6 +289,105 @@ class ShardedQueryEngine(QueryEngine):
                        P("data")),
             check_vma=False)
         return fn(*args)
+
+    # ---------------------------------------------- sharded event lanes
+    def _probe_and_lanes(self, tables, codes, lengths, leaf_ok,
+                         lane_cap, exact: bool, tier: int):
+        """Event-mode lane pipeline under shard_map (VERDICT r04 #5).
+
+        Per-shard event lanes all_gather over `shard` and join + stage 2
+        run replicated per data group INSIDE the step — no [B, S, X]
+        histogram is ever materialised or psum'd, so HBM and collective
+        volume are independent of the genome count S. Hybrid/CSR modes
+        keep the dense psum path (S is small there by construction)."""
+        if not getattr(self, "_event_lanes", False):
+            return super()._probe_and_lanes(tables, codes, lengths, leaf_ok,
+                                            lane_cap, exact, tier)
+        del tables
+        B = codes.shape[0]                      # global batch
+        S = self.S
+        nd = self.n_data
+        Bl = B // nd
+        Kl = (Bl * S if lane_cap is None
+              else min(Bl * S, max(lane_cap // nd, 4096)))
+        out = self._sharded_event_lanes(codes, lengths, leaf_ok, exact,
+                                        tier, Kl)
+        (idx, lv, present_l, hist_f, d_f, v_f, mc_f, uc_f, rho_l,
+         best_slot, best_d, hist_c, uc_c, rho_c, v_c, ratio_l,
+         onmers, lane_over_b, ov_b) = out
+        L = dict(idx=idx, lv=lv, present_l=present_l, hist_f=hist_f,
+                 d_f=d_f, v_f=v_f, mc_f=mc_f, uc_f=uc_f, rho_l=rho_l,
+                 best_slot=best_slot, best_d=best_d, hist_c=hist_c,
+                 uc_c=uc_c, rho_c=rho_c, v_c=v_c, ratio_l=ratio_l,
+                 lane_over=jnp.any(lane_over_b))
+        return L, onmers, jnp.any(ov_b)
+
+    def _sharded_event_lanes(self, codes, lengths, leaf_ok, exact: bool,
+                             tier: int, Kl: int):
+        from ..query.event_probe import event_probe_lanes
+
+        mesh = self.mesh
+        etier = max(tier, 2) if exact else tier
+        S = self.S
+        X = self.th + 1
+        nd = self.n_data
+
+        def step(codes_l, lengths_l, enc_se_s, rowstart_s, bounds_s,
+                 rowids_s, slots_s, leafoff_t, leafslots_t, leaf_ok_t):
+            Bl = codes_l.shape[0]
+            rix2, res2, valid, onmers = self._strand_hashes(codes_l,
+                                                            lengths_l)
+            urow, resident = self._urow(rix2, valid[None])
+            mine, sidx, hrow = self._shard_route(
+                urow, resident, bounds_s[0],
+                None if rowids_s is None else rowids_s[0])
+            P_ = urow.shape[2]
+            E, KH, CAP_L = self._event_caps(Bl, P_, etier)
+            Np = 2 * Bl * P_
+            # per-shard live lanes ~ resident/n_shard (entry-balanced row
+            # blocks); a margin miss raises the overflow flag -> tier rerun
+            KRs = min(Np, int(Np * self._res_frac() * 1.3
+                              / max(self.n_shard, 1)) + 8192)
+            nb_lane, leaf_lane, hist_lanes, minall, ov = event_probe_lanes(
+                slots_s[0], enc_se_s[0], rowstart_s[0], leafoff_t,
+                leafslots_t, sidx, hrow, mine, res2, self.th, self.C0,
+                S, self.di.max_bucket, E, KH, CAP_L, heavy_tab=None,
+                KR=KRs)
+            # union of the shards' lanes: lane keys are batch-local and
+            # shard-agnostic, so a shard-axis all_gather + join dedupes
+            # exactly (each (read, pos) probe's bucket lives on ONE shard)
+            nb_g = jax.lax.all_gather(nb_lane, "shard").reshape(-1)
+            leaf_g = jax.lax.all_gather(leaf_lane, "shard").reshape(-1)
+            hist_g = jax.lax.all_gather(hist_lanes, "shard").reshape(-1, X)
+            minall = jax.lax.pmin(minall.reshape(2, Bl), "shard")
+            ov = jax.lax.pmax(ov.astype(jnp.int32), "shard")
+            idx, lv, h_or, h_rc, lane_over = self._event_lane_join(
+                nb_g, leaf_g, hist_g, Kl, Bl)
+            L = self._stage2_core(idx, lv, h_or, h_rc, minall[0],
+                                  minall[1], onmers, leaf_ok_t, lane_over)
+            # lane keys -> the global read space (group-blocked lanes stay
+            # ascending: group g owns reads [g*Bl, (g+1)*Bl))
+            off = jax.lax.axis_index("data").astype(jnp.int32) * (Bl * S)
+            idx_g = jnp.where(L["lv"], L["idx"] + off,
+                              jnp.int32(nd * Bl * S))
+            lo_b = jnp.broadcast_to(L["lane_over"], (Bl,)).astype(jnp.int32)
+            ov_b = jnp.broadcast_to(ov > 0, (Bl,)).astype(jnp.int32)
+            return (idx_g, L["lv"], L["present_l"], L["hist_f"], L["d_f"],
+                    L["v_f"], L["mc_f"], L["uc_f"], L["rho_l"],
+                    L["best_slot"], L["best_d"], L["hist_c"], L["uc_c"],
+                    L["rho_c"], L["v_c"], L["ratio_l"], onmers, lo_b, ov_b)
+
+        in_specs = [P("data", None), P("data"),
+                    P("shard", None, None), P("shard", None),
+                    P("shard", None),
+                    None if self._rowids_dev is None else P("shard", None),
+                    P("shard", None, None), P(None), P(None), P(None)]
+        out_specs = tuple([P("data")] * 19)
+        fn = jax.shard_map(step, mesh=mesh, in_specs=tuple(in_specs),
+                           out_specs=out_specs, check_vma=False)
+        return fn(codes, lengths, self._enc_se_dev, self._rowstart_dev,
+                  self._bounds_dev, self._rowids_dev, self._slots_dev,
+                  self._leafoff_dev, self._leafslots_dev, leaf_ok)
 
     def run_leaf_stage(self, codes: np.ndarray, lengths: np.ndarray,
                        leaf_ok: Optional[np.ndarray] = None):
