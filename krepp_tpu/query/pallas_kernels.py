@@ -255,8 +255,14 @@ def _packed_kernel(res_ref, light_ref, *refs, th: int, C0: int, S: int):
         e1 = jnp.where((mh >= 3) & (mh < X),
                        jnp.int32(1) << sh1, jnp.int32(0))
         # dtype pinned: under x64 jnp.sum would promote to (unsupported) i64
-        out_ref[:, s, 0] = jnp.sum(e0, axis=1, dtype=jnp.int32)
-        out_ref[:, s, 1] = jnp.sum(e1, axis=1, dtype=jnp.int32)
+        w0 = jnp.sum(e0, axis=1, dtype=jnp.int32)
+        w1 = jnp.sum(e1, axis=1, dtype=jnp.int32)
+        # decode the base-256 packed counters in-kernel (the separate XLA
+        # decode pass over [N, S, X] cost ~4 ms at production batches)
+        for x in range(X):
+            w = w0 if x < 3 else w1
+            off = 8 * x if x < 3 else 8 * (x - 3)
+            out_ref[:, s, x] = (w >> off) & jnp.int32(255)
     hd_min_ref[:] = jnp.min(gm, axis=1, keepdims=True)
 
 
@@ -285,31 +291,23 @@ def probe_hist_packed(res: jax.Array, light: jax.Array, ents, th: int,
     ents = [jax.lax.bitcast_convert_type(e, jnp.int32) for e in ents]
     kern = functools.partial(_packed_kernel, th=th, C0=C0, S=S)
     plane = pl.BlockSpec((TB, P), lambda i: (i, i * 0))
-    hd_min, packed = pl.pallas_call(
+    hd_min, hist = pl.pallas_call(
         kern,
         grid=(Np // TB,),
         in_specs=[plane, plane] + [plane] * (2 * C0),
         out_specs=[
             pl.BlockSpec((TB, 1), lambda i: (i, i * 0)),
-            pl.BlockSpec((TB, S, 2), lambda i: (i, i * 0, i * 0)),
+            pl.BlockSpec((TB, S, X), lambda i: (i, i * 0, i * 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Np, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Np, S, 2), jnp.int32),
+            jax.ShapeDtypeStruct((Np, S, X), jnp.int32),
         ],
         interpret=interpret,
     )(res, light.astype(jnp.int32), *ents)
-    packed = packed[:N]
     minall = hd_min[:N, 0]
     minall = jnp.where(minall >= X, HD_SENTINEL, minall)
-    # decode base-256 packed counters -> [N, S, X]
-    planes = []
-    for x in range(X):
-        w = packed[..., 0] if x < 3 else packed[..., 1]
-        off = 8 * x if x < 3 else 8 * (x - 3)
-        planes.append((w >> off) & jnp.int32(255))
-    hist = jnp.stack(planes, axis=-1)
-    return hist, minall
+    return hist[:N], minall
 
 
 def hdist_chunk_xla(res: jax.Array, enc: jax.Array, cnt: jax.Array,
