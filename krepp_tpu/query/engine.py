@@ -359,7 +359,20 @@ class QueryEngine:
         n_h = len(heavy)
         if n_h == 0 or n_h >= (1 << 24) - 1:
             return None
-        TP = min(int(di.max_bucket), TAIL_UNROLL)
+        # row width from the measured depth distribution: cover 99.9% of
+        # heavy buckets AND 99.5% of their entry mass (probe probability is
+        # ~entry-weighted for exact-match reads); the rare deeper buckets
+        # take the bounded CSR scan. A fixed TAIL_UNROLL width doubled the
+        # heavy-row gather bytes on lambda ~1-2 indexes for a tail that is
+        # practically never populated.
+        hc = counts[heavy]
+        q_row = float(np.quantile(hc, 0.999))
+        hs = np.sort(hc)
+        wcum = np.cumsum(hs, dtype=np.float64)
+        q_mass = float(hs[min(np.searchsorted(wcum, 0.995 * wcum[-1]),
+                              len(hs) - 1)])
+        TP = int(np.ceil(max(q_row, q_mass)))
+        TP = min(max(TP, 4), int(di.max_bucket), TAIL_UNROLL)
         while TP > 4 and n_h * (1 + 2 * TP) * 4 > self.HEAVY_TAB_CAP:
             TP -= 1
         if n_h * (1 + 2 * TP) * 4 > self.HEAVY_TAB_CAP:
